@@ -1,0 +1,17 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual XLA devices so the multi-chip sharding paths
+(`alfred_margaret_tpu.parallel`) can be exercised without TPU hardware, per
+the reference test strategy analogue in SURVEY.md §4 (multi-chip results must
+be identical to single-chip). Environment variables must be set before JAX is
+imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
