@@ -13,6 +13,9 @@ A from-scratch rebuild of the capabilities of channable/alfred-margaret
 """
 
 from .utils.case import CASE_SENSITIVE, IGNORE_CASE, CaseSensitivity
+from .searcher import Searcher
+from .replacer import Payload, Replacer
+from .splitter import Splitter
 
 __version__ = "0.1.0"
 
@@ -20,4 +23,8 @@ __all__ = [
     "CaseSensitivity",
     "CASE_SENSITIVE",
     "IGNORE_CASE",
+    "Searcher",
+    "Replacer",
+    "Payload",
+    "Splitter",
 ]

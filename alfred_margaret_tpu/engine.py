@@ -1,0 +1,191 @@
+"""Engine dispatch: one semantic contract, several execution backends.
+
+Every high-level operation (Searcher/Replacer/Splitter) funnels through a
+``MatchEngine``, which runs the dense byte-DFA over a haystack and returns
+match end positions (raw byte coordinates) + value ids. Backends:
+
+* ``python`` — the scalar oracle (``models.ac.run_with_case``), exact and
+  slow; used for tiny inputs and as the conformance reference.
+* ``xla``    — batched ``lax.scan`` gather loop (``ops.xla_scan``), jittable,
+  runs on CPU or one TPU chip.
+* ``pallas`` — hand-written TPU kernel (``ops.pallas_scan``), the bytes/s
+  workhorse. Falls back to ``xla`` off-TPU.
+* ``auto``   — pick by input size and available hardware.
+
+IgnoreCase strategy (design delta vs the reference, SURVEY.md §7.1): instead
+of decoding + lowering each code point inside the hot loop
+(``AhoCorasick/Automaton.hs:468-480``), the haystack is lowered **up front**
+by a vectorized byte-stream transducer (``utils.utf8.lower_transform``) that
+carries raw-byte coordinate maps; the case-sensitive byte DFA then runs on
+the lowered stream and positions are mapped back to raw coordinates. This
+keeps the per-byte device loop a pure gather.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .models import ac
+from .utils import utf8
+from .utils.case import CASE_SENSITIVE, IGNORE_CASE, CaseSensitivity
+
+#: Inputs smaller than this run on the scalar python path under "auto"
+#: (device dispatch overhead dominates below it).
+AUTO_PYTHON_THRESHOLD = 4096
+
+_VALID_ENGINES = ("auto", "python", "xla", "pallas", "cpp")
+
+
+@dataclass
+class MatchSet:
+    """All matches of one scan, in emission order.
+
+    ends:      int64 [m] byte index one past each match end (raw coords)
+    value_ids: int32 [m] index into the machine's values list
+    lowered:   the LoweredText used (IgnoreCase only), for start recovery
+    """
+
+    ends: np.ndarray
+    value_ids: np.ndarray
+    lowered: Optional[utf8.LoweredText]
+
+    def __len__(self) -> int:
+        return len(self.ends)
+
+
+class MatchEngine:
+    """Executes a machine over haystacks with a selectable backend."""
+
+    def __init__(self, machine: ac.AcMachine, engine: str = "auto"):
+        if engine not in _VALID_ENGINES:
+            raise ValueError(f"unknown engine {engine!r}; expected one of {_VALID_ENGINES}")
+        self.machine = machine
+        self.engine = engine
+        self._xla = None
+        self._pallas = None
+        self._cpp = None
+
+    # -- backend selection -------------------------------------------------
+
+    def _xla_engine(self):
+        if self._xla is None:
+            from .ops.xla_scan import XlaAcEngine
+
+            self._xla = XlaAcEngine(self.machine)
+        return self._xla
+
+    def _cpp_engine(self):
+        if self._cpp is None:
+            from .native import cpp_engine
+
+            self._cpp = cpp_engine.CppAcEngine(self.machine)
+        return self._cpp
+
+    def _pallas_engine(self):
+        if self._pallas is None:
+            from .ops.pallas_scan import PallasAcEngine
+
+            self._pallas = PallasAcEngine(self.machine)
+        return self._pallas
+
+    def _pick(self, n_bytes: int) -> str:
+        if self.engine != "auto":
+            return self.engine
+        if n_bytes < AUTO_PYTHON_THRESHOLD:
+            return "python"
+        return "xla"
+
+    # -- prep --------------------------------------------------------------
+
+    def _prep(self, text: utf8.TextLike, case: CaseSensitivity):
+        """Return (scan_bytes, lowered or None)."""
+        if case is IGNORE_CASE:
+            lt = utf8.lower_transform(text)
+            return lt.lowered, lt
+        return utf8.to_u8(text), None
+
+    # -- operations --------------------------------------------------------
+
+    def count(self, text: utf8.TextLike, case: CaseSensitivity) -> int:
+        data, _ = self._prep(text, case)
+        backend = self._pick(len(data))
+        if backend == "python":
+            # Scan the pre-lowered bytes case-sensitively: identical result.
+            return ac.count_matches(self.machine, data, CASE_SENSITIVE)
+        if backend == "cpp":
+            return self._cpp_engine().count(data)
+        if backend == "pallas":
+            return self._pallas_engine().count(data)
+        return self._xla_engine().count(data)
+
+    def contains_any(self, text: utf8.TextLike, case: CaseSensitivity) -> bool:
+        data, _ = self._prep(text, case)
+        backend = self._pick(len(data))
+        if backend == "python":
+            def first(_acc, _m):
+                return ac.Done(True)
+
+            return bool(ac.run_text(False, first, self.machine, data))
+        # Count-based: no early exit on device, still one pass.
+        if backend == "cpp":
+            return self._cpp_engine().count(data) > 0
+        if backend == "pallas":
+            return self._pallas_engine().count(data) > 0
+        return self._xla_engine().count(data) > 0
+
+    def matches(self, text: utf8.TextLike, case: CaseSensitivity) -> MatchSet:
+        """All matches with raw-coordinate end positions, emission order."""
+        data, lt = self._prep(text, case)
+        backend = self._pick(len(data))
+        if backend == "python":
+            states = self._python_states(data)
+        elif backend == "cpp":
+            states = self._cpp_engine().final_states(data)
+        elif backend == "pallas":
+            states = self._pallas_engine().final_states(data)
+        else:
+            states = self._xla_engine().final_states(data)
+        from .ops.xla_scan import extract_matches
+
+        ends, value_ids = extract_matches(self.machine, states)
+        if lt is not None and len(ends):
+            ends = lt.raw_end[lt.cp_index[ends - 1]].astype(np.int64)
+        return MatchSet(ends=ends, value_ids=value_ids, lowered=lt)
+
+    def value_presence(self, text: utf8.TextLike, case: CaseSensitivity) -> np.ndarray:
+        """bool [n_values]: which values have at least one match."""
+        data, _ = self._prep(text, case)
+        m = self.machine
+        backend = self._pick(len(data))
+        if backend == "xla":
+            hits = self._xla_engine().state_hits(data)
+            hit_states = np.flatnonzero(hits)
+        else:
+            if backend == "cpp":
+                states = self._cpp_engine().final_states(data)
+            elif backend == "pallas":
+                states = self._pallas_engine().final_states(data)
+            else:
+                states = self._python_states(data)
+            hit_states = np.unique(states[m.match_count[states] > 0])
+        present = np.zeros(len(m.values), dtype=bool)
+        for s in hit_states:
+            present[m.outputs(int(s))] = True
+        return present
+
+    def _python_states(self, data: np.ndarray) -> np.ndarray:
+        """Scalar byte-DFA pass emitting the state after every byte."""
+        delta = self.machine.delta
+        out = np.empty(len(data), dtype=np.int32)
+        state = 0
+        dview = memoryview(utf8.to_bytes(data))
+        for i, b in enumerate(dview):
+            state = delta[state, b]
+            out[i] = state
+        return out
+
+
+__all__ = ["MatchEngine", "MatchSet", "AUTO_PYTHON_THRESHOLD"]

@@ -1,0 +1,293 @@
+"""XLA scan engine: jittable gather-per-byte DFA matching over many streams.
+
+The reference's hot loop is a scalar fold with data-dependent control flow
+(``AhoCorasick/Automaton.hs:442-534``) — unmappable to TPU. This engine
+restructures matching as a **batched vector scan**: one haystack is split
+into S parallel streams (chunks) with a warm-up overlap of
+``max_needle_bytes - 1`` bytes, and a single ``lax.scan`` advances all S DFA
+states at once with one table gather per byte column:
+
+    states = delta_flat[states * 256 + byte_column]      # [S] gather
+    counts += match_count[states] * valid_mask           # [S] gather + add
+
+The overlap trick is exact: an Aho-Corasick DFA state is the longest suffix
+of the consumed input that is a trie path, and trie paths are at most
+``max_needle_bytes`` long, so the state at any position is fully determined
+by the last ``max_needle_bytes`` bytes. Warm-up positions are masked out of
+emission; every input position is emitted by exactly one stream.
+
+This is the correctness-first jittable path (runs on CPU and a single TPU
+chip); the Pallas kernel in ``pallas_scan.py`` is the bytes/s workhorse with
+the same semantics, and ``parallel/`` shards streams across a device mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.ac import AcMachine
+from ..utils import utf8
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _ceil_div(x, m) * m
+
+
+@dataclass(frozen=True)
+class StreamPlan:
+    """How a flat byte array is laid out into overlap-warmed streams."""
+
+    n: int  # total input bytes
+    n_streams: int  # S
+    emit_len: int  # L: emission bytes per stream (last stream may emit less)
+    overlap: int  # K: warm-up bytes (max_needle_bytes - 1)
+    time_len: int  # T = K + L, padded stream length
+
+
+def plan_streams(
+    n: int,
+    overlap: int,
+    n_streams: Optional[int] = None,
+    max_streams: int = 1024,
+    min_emit: int = 512,
+) -> StreamPlan:
+    """Choose a stream decomposition for an ``n``-byte input.
+
+    More streams = more TPU lane parallelism but more warm-up overhead
+    (``overlap`` extra bytes per stream). We aim for full lanes while keeping
+    the overlap overhead and padding waste small.
+    """
+    if n <= 0:
+        return StreamPlan(n=n, n_streams=1, emit_len=1, overlap=overlap, time_len=1 + overlap)
+    if n_streams is None:
+        # Overlap work should stay under ~12.5% of emission work.
+        by_overlap = n // max(1, 8 * overlap) if overlap > 0 else max_streams
+        n_streams = int(min(max_streams, max(1, min(n // min_emit, by_overlap))))
+        if n_streams >= 8:
+            n_streams = max(8, (n_streams // 8) * 8)
+    n_streams = max(1, min(n_streams, n))
+    emit_len = _ceil_div(n, n_streams)
+    return StreamPlan(
+        n=n,
+        n_streams=n_streams,
+        emit_len=emit_len,
+        overlap=overlap,
+        time_len=emit_len + overlap,
+    )
+
+
+def build_streams(data: np.ndarray, plan: StreamPlan) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Lay out ``data`` into time-major streams.
+
+    Returns ``(streams_ts, warm_start, valid_end)`` where ``streams_ts`` is
+    uint8 [T, S] (time-major: scan slices are contiguous lane vectors),
+    and per-stream emission is valid for t in [warm_start[s], valid_end[s]).
+    """
+    n, S, L, K, T = plan.n, plan.n_streams, plan.emit_len, plan.overlap, plan.time_len
+    streams = np.zeros((S, T), dtype=np.uint8)
+    warm_start = np.zeros(S, dtype=np.int32)
+    valid_end = np.zeros(S, dtype=np.int32)
+    for i in range(S):
+        emit_begin = i * L
+        emit_end = min(emit_begin + L, n)
+        start = max(0, emit_begin - K)
+        chunk = data[start : min(start + T, n)]
+        streams[i, : len(chunk)] = chunk
+        warm = emit_begin - start
+        warm_start[i] = warm
+        valid_end[i] = warm + max(0, emit_end - emit_begin)
+    return np.ascontiguousarray(streams.T), warm_start, valid_end
+
+
+@dataclass
+class AcDeviceMachine:
+    """Device-resident automaton arrays, shared by the XLA and Pallas engines."""
+
+    delta_flat: jax.Array  # int32 [n_states * 256]
+    match_count: jax.Array  # int32 [n_states]
+    n_states: int
+    overlap: int  # max_needle_bytes - 1
+
+    @staticmethod
+    def from_machine(machine: AcMachine) -> "AcDeviceMachine":
+        return AcDeviceMachine(
+            delta_flat=jnp.asarray(machine.delta.reshape(-1), dtype=jnp.int32),
+            match_count=jnp.asarray(machine.match_count, dtype=jnp.int32),
+            n_states=machine.n_states,
+            overlap=max(0, machine.max_needle_bytes - 1),
+        )
+
+
+@jax.jit
+def _scan_count(delta_flat, match_count, streams_ts, warm_start, valid_end):
+    """Total match count over all streams (warm-up masked)."""
+    S = streams_ts.shape[1]
+
+    def step(carry, byte_row):
+        states, counts, t = carry
+        states = jnp.take(delta_flat, states * 256 + byte_row.astype(jnp.int32))
+        c = jnp.take(match_count, states)
+        valid = (t >= warm_start) & (t < valid_end)
+        counts = counts + jnp.where(valid, c, 0)
+        return (states, counts, t + 1), None
+
+    init = (
+        jnp.zeros(S, dtype=jnp.int32),
+        jnp.zeros(S, dtype=jnp.int32),
+        jnp.int32(0),
+    )
+    (_, counts, _), _ = jax.lax.scan(step, init, streams_ts)
+    # Per-stream counts are int32 (a stream would need 2^31 matches to
+    # overflow); the cross-stream sum happens in int64 on the host.
+    return counts
+
+
+@jax.jit
+def _scan_states(delta_flat, streams_ts):
+    """Per-position DFA states for all streams: [T, S] int32."""
+    S = streams_ts.shape[1]
+
+    def step(states, byte_row):
+        states = jnp.take(delta_flat, states * 256 + byte_row.astype(jnp.int32))
+        return states, states
+
+    _, states_ts = jax.lax.scan(step, jnp.zeros(S, dtype=jnp.int32), streams_ts)
+    return states_ts
+
+
+@jax.jit
+def _scan_state_hits(delta_flat, n_states_arr, streams_ts, warm_start, valid_end):
+    """Bool [n_states] mask of states visited at valid emission positions
+    (for containsAll: a needle is present iff any visited state emits it)."""
+    S = streams_ts.shape[1]
+    hits0 = jnp.zeros(n_states_arr.shape[0], dtype=jnp.bool_)
+
+    def step(carry, byte_row):
+        states, hits, t = carry
+        states = jnp.take(delta_flat, states * 256 + byte_row.astype(jnp.int32))
+        valid = (t >= warm_start) & (t < valid_end)
+        hits = hits.at[jnp.where(valid, states, 0)].set(True)
+        return (states, hits, t + 1), None
+
+    (_, hits, _), _ = jax.lax.scan(step, (jnp.zeros(S, dtype=jnp.int32), hits0, jnp.int32(0)), streams_ts)
+    return hits
+
+
+class XlaAcEngine:
+    """End-to-end matcher over a single device using ``lax.scan``.
+
+    Stream layout happens on host (numpy); the scan is jitted and cached per
+    (T, S) shape. ``bucket`` pads T up to powers of two so the number of
+    distinct compiled shapes stays logarithmic.
+    """
+
+    def __init__(self, machine: AcMachine, max_streams: int = 1024, bucket: bool = True):
+        self.machine = machine
+        self.dev = AcDeviceMachine.from_machine(machine)
+        self.max_streams = max_streams
+        self.bucket = bucket
+
+    def _streams(self, data: np.ndarray, n_streams: Optional[int] = None):
+        plan = plan_streams(len(data), self.dev.overlap, n_streams, self.max_streams)
+        if self.bucket:
+            bucketed_emit = max(1, _round_up(plan.emit_len, 512))
+            plan = StreamPlan(
+                n=plan.n,
+                n_streams=plan.n_streams,
+                emit_len=bucketed_emit,
+                overlap=plan.overlap,
+                time_len=bucketed_emit + plan.overlap,
+            )
+        return plan, build_streams(data, plan)
+
+    def count(self, text: utf8.TextLike) -> int:
+        data = utf8.to_u8(text)
+        if len(data) == 0:
+            return 0
+        _, (streams_ts, warm, vend) = self._streams(data)
+        counts = _scan_count(self.dev.delta_flat, self.dev.match_count, streams_ts, warm, vend)
+        return int(np.asarray(counts, dtype=np.int64).sum())
+
+    def final_states(self, text: utf8.TextLike) -> np.ndarray:
+        """int32 [n] DFA state after consuming each byte of ``text``."""
+        data = utf8.to_u8(text)
+        n = len(data)
+        if n == 0:
+            return np.zeros(0, dtype=np.int32)
+        plan, (streams_ts, warm, vend) = self._streams(data)
+        states_ts = np.asarray(_scan_states(self.dev.delta_flat, streams_ts))
+        # Stitch emission regions back into one flat array.
+        out = np.empty(n, dtype=np.int32)
+        L = plan.emit_len
+        for i in range(plan.n_streams):
+            emit_begin = i * L
+            if emit_begin >= n:
+                break
+            emit_end = min(emit_begin + L, n)
+            out[emit_begin:emit_end] = states_ts[warm[i] : warm[i] + (emit_end - emit_begin), i]
+        return out
+
+    def state_hits(self, text: utf8.TextLike) -> np.ndarray:
+        """bool [n_states]: which states were reached at emission positions."""
+        data = utf8.to_u8(text)
+        if len(data) == 0:
+            return np.zeros(self.dev.n_states, dtype=bool)
+        _, (streams_ts, warm, vend) = self._streams(data)
+        hits = _scan_state_hits(
+            self.dev.delta_flat,
+            jnp.zeros(self.dev.n_states),
+            streams_ts,
+            warm,
+            vend,
+        )
+        hits = np.array(hits)
+        # Position-0 scatter writes state 0 for invalid lanes; state 0 never
+        # emits so it is harmless, but normalize for cleanliness.
+        hits[0] = False
+        return hits
+
+
+def extract_matches(
+    machine: AcMachine, states: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Expand per-position states into (positions_one_past_end, value_ids).
+
+    Positions ascend; same-position values keep CSR (emission) order, exactly
+    matching the scalar fold's ordering.
+    """
+    counts = machine.match_count[states]
+    hit_pos = np.flatnonzero(counts)
+    if len(hit_pos) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
+    hit_states = states[hit_pos]
+    hit_counts = counts[hit_pos]
+    positions = np.repeat(hit_pos + 1, hit_counts)
+    # CSR expansion: for each hit, take out_values[out_offset[s] : +count]
+    offs = machine.out_offset[hit_states]
+    total = int(hit_counts.sum())
+    base = np.repeat(offs, hit_counts)
+    ramp = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(hit_counts) - hit_counts, hit_counts
+    )
+    value_ids = machine.out_values[base + ramp]
+    return positions, value_ids
+
+
+__all__ = [
+    "AcDeviceMachine",
+    "StreamPlan",
+    "XlaAcEngine",
+    "plan_streams",
+    "build_streams",
+    "extract_matches",
+]

@@ -1,0 +1,123 @@
+"""Searcher tests, porting the reference's AhoCorasickSpec Searcher section
+(`tests/Data/Text/AhoCorasickSpec.hs:165-218`)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from alfred_margaret_tpu import CASE_SENSITIVE, IGNORE_CASE, Searcher
+from alfred_margaret_tpu.utils import utf8
+
+
+class TestContainsAny:
+    def test_readme_examples(self):
+        needles = ["tshirt", "shirts", "shorts"]
+        searcher = Searcher.build(CASE_SENSITIVE, needles)
+        assert searcher.contains_any("short tshirts") is True
+        assert searcher.contains_any("long shirt") is False
+        assert searcher.contains_any("Short TSHIRTS") is False
+
+        searcher_ci = Searcher.build(IGNORE_CASE, needles)
+        assert searcher_ci.contains_any("Short TSHIRTS") is True
+
+    def test_iliad(self):
+        iliad = "Ἄνδρα μοι ἔννεπε, Μοῦσα, πολύτροπον, ὃς μάλα πολλὰ"
+        for needles, expected in [(["μοι"], True), (["Ὀδυσεύς"], False)]:
+            searcher = Searcher.build(CASE_SENSITIVE, needles)
+            assert searcher.contains_any(iliad) is expected
+
+    def test_iliad_ignore_case(self):
+        iliad = "ἌΝΔΡΑ ΜΟΙ ἜΝΝΕΠΕ, ΜΟΥ͂ΣΑ, ΠΟΛΎΤΡΟΠΟΝ, ὋΣ ΜΆΛΑ ΠΟΛΛᾺ"
+        searcher = Searcher.build(IGNORE_CASE, ["μοι"])
+        assert searcher.contains_any(iliad) is True
+
+
+class TestContainsAll:
+    def test_empty_needle_never_true(self):
+        searcher = Searcher.build_needle_id_searcher(CASE_SENSITIVE, [""])
+        for haystack in ["", "a", "hello world"]:
+            assert searcher.contains_all(haystack) is False
+
+    def test_no_needles_vacuously_true(self):
+        searcher = Searcher.build_needle_id_searcher(CASE_SENSITIVE, [])
+        assert searcher.contains_all("anything") is True
+
+    @given(
+        st.lists(st.text(min_size=1, max_size=4), max_size=4),
+        st.text(max_size=50),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_equivalent_to_is_infix_of(self, needles, haystack):
+        searcher = Searcher.build_needle_id_searcher(CASE_SENSITIVE, needles)
+        expected = all(n in haystack for n in needles)
+        assert searcher.contains_all(haystack) is expected
+
+    @given(
+        st.lists(st.text(min_size=1, max_size=4), max_size=4),
+        st.text(max_size=50),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_equivalent_to_is_infix_of_ignore_case(self, needles, haystack):
+        lower_needles = [utf8.lower_str(n) for n in needles]
+        lower_haystack = utf8.lower_str(haystack)
+        searcher = Searcher.build_needle_id_searcher(IGNORE_CASE, lower_needles)
+        expected = all(n in lower_haystack for n in lower_needles)
+        assert searcher.contains_all(haystack) is expected
+
+
+class TestSearcherStructure:
+    def test_eq_hash_by_needles(self):
+        a = Searcher.build(CASE_SENSITIVE, ["foo", "bar"])
+        b = Searcher.build(CASE_SENSITIVE, ["foo", "bar"])
+        c = Searcher.build(CASE_SENSITIVE, ["foo"])
+        d = Searcher.build(IGNORE_CASE, ["foo", "bar"])
+        assert a == b and hash(a) == hash(b)
+        assert a != c and a != d
+
+    def test_json_roundtrip(self):
+        a = Searcher.build(IGNORE_CASE, ["foo", "bär"])
+        b = Searcher.from_json(a.to_json())
+        assert a == b
+        assert b.contains_any("BÄR") is True
+
+    def test_semigroup_concat(self):
+        a = Searcher.build(CASE_SENSITIVE, ["foo"])
+        b = Searcher.build(CASE_SENSITIVE, ["bar"])
+        c = a + b
+        assert c.contains_any("xbarx") and c.contains_any("xfoox")
+        with pytest.raises(ValueError):
+            a + Searcher.build(IGNORE_CASE, ["baz"])
+
+    def test_set_case_sensitivity(self):
+        a = Searcher.build(CASE_SENSITIVE, ["foo"])
+        assert a.contains_any("FOO") is False
+        assert a.set_case_sensitivity(IGNORE_CASE).contains_any("FOO") is True
+
+    def test_map_searcher(self):
+        a = Searcher.build_needle_id_searcher(CASE_SENSITIVE, ["x", "y"])
+        doubled = a.map_searcher(lambda v: v * 10)
+        ms = doubled.all_matches("xy")
+        assert [m.value for m in ms] == [0, 10]
+
+    def test_num_needles_and_needles(self):
+        a = Searcher.build(CASE_SENSITIVE, ["foo", "bar"])
+        assert a.num_needles == 2
+        assert [n for n, _ in a.needles] == [b"foo", b"bar"]
+
+
+class TestEngineParity:
+    """python and xla engines must agree on every op."""
+
+    @given(
+        st.lists(st.text(alphabet="abAB", min_size=1, max_size=3), min_size=1, max_size=5),
+        st.text(alphabet="abAB", max_size=80),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_contains_and_count(self, needles, haystack):
+        for case in (CASE_SENSITIVE, IGNORE_CASE):
+            ndl = [utf8.lower_str(n) for n in needles] if case is IGNORE_CASE else needles
+            py = Searcher.build(case, ndl, engine="python")
+            xla = Searcher.build(case, ndl, engine="xla")
+            assert py.contains_any(haystack) == xla.contains_any(haystack)
+            assert py.count_matches(haystack) == xla.count_matches(haystack)
+            assert py.all_matches(haystack) == xla.all_matches(haystack)
