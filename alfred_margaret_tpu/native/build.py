@@ -1,0 +1,104 @@
+"""Lazy ctypes build/load of the native engine library.
+
+Compiles ``am_native.cpp`` with g++ on first use and caches the shared
+object next to the source (keyed by a source hash), so importing the
+package never requires a compile step unless the native path is used.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "am_native.cpp")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "AMT_NATIVE_CACHE", os.path.join(_DIR, "_build")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"am_native_{digest}.so")
+
+
+def load() -> ctypes.CDLL:
+    """Build (if needed) and load the native library; raises
+    NativeUnavailable when no toolchain is present."""
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        so = _so_path()
+        if not os.path.exists(so):
+            cmd = [
+                "g++",
+                "-O3",
+                "-std=c++17",
+                "-march=native",
+                "-shared",
+                "-fPIC",
+                "-pthread",
+                _SRC,
+                "-o",
+                so + ".tmp",
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired) as e:
+                detail = getattr(e, "stderr", b"")
+                raise NativeUnavailable(f"native build failed: {e} {detail!r}") from e
+            os.replace(so + ".tmp", so)
+        lib = ctypes.CDLL(so)
+        lib.am_scan_count.restype = ctypes.c_int64
+        lib.am_scan_count.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.am_scan_states.restype = ctypes.c_int32
+        lib.am_scan_states.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.am_scan_count_mt.restype = ctypes.c_int64
+        lib.am_scan_count_mt.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+        lib.am_scan_states_mt.restype = None
+        lib.am_scan_states_mt.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        lib.am_memscan_baseline.restype = ctypes.c_int64
+        lib.am_memscan_baseline.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        _LIB = lib
+        return lib

@@ -1,0 +1,73 @@
+"""ctypes-backed CPU engine over the shared dense DFA tables.
+
+Exactly the same table layout and emission semantics as the TPU engines
+(match counts per post-byte state), so results are bit-identical; used as
+host fallback, CPU competitor baseline, and independent parity check.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..models.ac import AcMachine
+from ..utils import utf8
+from . import build
+
+
+def _default_threads() -> int:
+    return min(16, os.cpu_count() or 1)
+
+
+class CppAcEngine:
+    def __init__(self, machine: AcMachine, n_threads: Optional[int] = None):
+        self.machine = machine
+        self.lib = build.load()
+        self.delta = np.ascontiguousarray(machine.delta, dtype=np.int32)
+        self.match_count = np.ascontiguousarray(machine.match_count, dtype=np.int32)
+        self.overlap = max(0, machine.max_needle_bytes - 1)
+        self.n_threads = n_threads if n_threads is not None else _default_threads()
+
+    def count(self, text: utf8.TextLike, n_threads: Optional[int] = None) -> int:
+        data = np.ascontiguousarray(utf8.to_u8(text))
+        nt = self.n_threads if n_threads is None else n_threads
+        if len(data) == 0:
+            return 0
+        return int(
+            self.lib.am_scan_count_mt(
+                self.delta.ctypes.data,
+                self.match_count.ctypes.data,
+                self.machine.n_states,
+                data.ctypes.data,
+                len(data),
+                self.overlap,
+                nt,
+            )
+        )
+
+    def final_states(self, text: utf8.TextLike, n_threads: Optional[int] = None) -> np.ndarray:
+        data = np.ascontiguousarray(utf8.to_u8(text))
+        out = np.empty(len(data), dtype=np.int32)
+        if len(data) == 0:
+            return out
+        nt = self.n_threads if n_threads is None else n_threads
+        self.lib.am_scan_states_mt(
+            self.delta.ctypes.data,
+            self.machine.n_states,
+            data.ctypes.data,
+            len(data),
+            self.overlap,
+            nt,
+            out.ctypes.data,
+        )
+        return out
+
+    def memscan_baseline(self, text: utf8.TextLike) -> int:
+        """XOR-reduce the input once: the host memory-bandwidth roof."""
+        data = np.ascontiguousarray(utf8.to_u8(text))
+        return int(self.lib.am_memscan_baseline(data.ctypes.data, len(data)))
+
+
+__all__ = ["CppAcEngine"]

@@ -1,0 +1,386 @@
+"""Pallas TPU kernel: the bytes/s workhorse for Aho-Corasick matching.
+
+Why not a plain table gather? XLA:TPU lowers ``jnp.take`` to a *serialized*
+gather (~0.1 G-gathers/s measured on v5e — experiments/tpu_sustained.py),
+while Mosaic's ``tpu.dynamic_gather`` sustains ~385 G-elements/s but only
+supports per-lane lookups within **128-entry table rows** (and 8-entry
+sublane columns). The kernel therefore reshapes the automaton until every
+step fits that primitive:
+
+1. **Byte-class compression**: bytes with identical ``delta`` columns are
+   one equivalence class (a byte not occurring in any needle always maps to
+   class 0). 256 bytes -> k classes, k typically ~ distinct needle bytes + 1.
+   The class map is a 256-entry lookup = 2 row-gathers + 1 select.
+2. **Packed flat table**: ``packed[s * k + c] = (match_count << 20) | (next_state * k)``
+   — the next-state is pre-multiplied by k so the next flat index is one add,
+   and the match count rides along for free (no second lookup).
+3. **Row-gather + select chain**: the flat table (``n_states * k`` entries,
+   padded to rows of 128) is held as VMEM rows; a lookup gathers every row at
+   the lane index ``idx & 127`` (one ``dynamic_gather`` each) and selects by
+   ``idx >> 7``. Cost ~ 2 vector ops per 128 table entries per 1024 streams.
+
+Streams are laid out ``[T, S]`` time-major exactly as in ``xla_scan`` (same
+warm-up overlap semantics); the grid walks time tiles, states/counts persist
+in scratch across sequential grid steps (TPU grid execution is sequential on
+a core), and Pallas double-buffers the HBM->VMEM stream tile DMA
+automatically via the BlockSpec pipeline.
+
+Capacity: ``n_states * k <= MAX_ROWS * 128`` (default 8192 entries). Bigger
+automata fall back to other engines (see ``engine.MatchEngine``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.ac import AcMachine
+from ..utils import utf8
+from .xla_scan import StreamPlan, build_streams, plan_streams
+
+#: Maximum flat-table rows (of 128 int32 entries) the kernel will hold and
+#: scan with its select chain.
+MAX_ROWS = 64
+
+#: Packed-entry layout: low 20 bits = next_state * k, high 12 bits = count.
+_STATE_BITS = 20
+_STATE_MASK = (1 << _STATE_BITS) - 1
+
+
+class CapacityError(ValueError):
+    """Automaton too large for the Pallas kernel's table budget."""
+
+
+@dataclass
+class CompressedMachine:
+    """Byte-class-compressed, packed automaton arrays (host side)."""
+
+    classmap: np.ndarray  # uint8/int32 [256] byte -> class
+    packed: np.ndarray  # int32 [rows * 128] flat (state, class) entries
+    n_states: int
+    k: int  # number of byte classes
+    rows: int  # ceil(n_states * k / 128)
+
+    @staticmethod
+    def from_machine(machine: AcMachine, max_rows: int = MAX_ROWS) -> "CompressedMachine":
+        delta = machine.delta  # [S, 256]
+        n_states = delta.shape[0]
+        # Byte-class compression: unique delta columns become classes.
+        cols = np.ascontiguousarray(delta.T)  # [256, S]
+        uniq, inv = np.unique(cols, axis=0, return_inverse=True)
+        k = uniq.shape[0]
+        if n_states * k > max_rows * 128:
+            raise CapacityError(
+                f"n_states*k = {n_states}*{k} = {n_states*k} exceeds "
+                f"{max_rows*128} packed entries"
+            )
+        if int(machine.match_count.max(initial=0)) >= (1 << (32 - _STATE_BITS)):
+            raise CapacityError("per-state match count exceeds packed field")
+        if n_states * k >= (1 << _STATE_BITS):
+            raise CapacityError("state*k exceeds packed state field")
+        # compressed delta [n_states, k]: delta[s, class] via unique rows
+        comp = uniq.T.astype(np.int64)  # [n_states, k]
+        packed = (machine.match_count.astype(np.int64)[comp] << _STATE_BITS) | (
+            comp * k
+        )
+        flat = packed.reshape(-1)
+        rows = -(-len(flat) // 128)
+        out = np.zeros(rows * 128, dtype=np.int64)
+        out[: len(flat)] = flat
+        return CompressedMachine(
+            classmap=inv.astype(np.int32),
+            packed=out.astype(np.int32),
+            n_states=n_states,
+            k=k,
+            rows=rows,
+        )
+
+
+def _broadcast_rows(table, rows: int, R: int):
+    """Hoist each 128-wide table row into an [R, 128] broadcast (done once
+    per kernel invocation, outside the time loop)."""
+    return [
+        jax.lax.broadcast_in_dim(table[r], (R, 128), (1,)) for r in range(rows)
+    ]
+
+
+def _lookup_flat(row_bcasts, idx):
+    """Gather ``flat_table[idx]`` (idx in [0, rows*128)) over [R,128] lanes:
+    one dynamic_gather per table row plus a select chain."""
+    lo = idx & 127
+    hi = idx >> 7
+    out = None
+    for r, row in enumerate(row_bcasts):
+        cand = jnp.take_along_axis(row, lo, axis=1)
+        out = cand if out is None else jnp.where(hi == r, cand, out)
+    return out
+
+
+def _class_of(byte_rc, cls_rows):
+    """Byte -> class: 256-entry lookup as 2 row-gathers + select."""
+    blo = byte_rc & 127
+    c0 = jnp.take_along_axis(cls_rows[0], blo, axis=1)
+    c1 = jnp.take_along_axis(cls_rows[1], blo, axis=1)
+    return jnp.where(byte_rc < 128, c0, c1)
+
+
+def _make_count_kernel(T_TILE: int, R: int, rows: int, n_tiles: int, unroll: int):
+    def kernel(
+        classmap_ref,  # [2, 128] int32 (byte classes; 256 entries)
+        table_ref,  # [rows, 128] int32 packed
+        warm_ref,  # [R, 128] int32 warm_start per stream
+        vend_ref,  # [R, 128] int32 valid_end per stream
+        streams_ref,  # [T_TILE, R, 128] int32 tile (pre-widened bytes)
+        out_ref,  # [R, 128] int32 per-stream counts
+        state_scr,  # [R, 128] int32 scratch: packed idx base (state*k)
+        count_scr,  # [R, 128] int32 scratch
+    ):
+        tile = pl.program_id(0)
+
+        @pl.when(tile == 0)
+        def _init():
+            state_scr[:] = jnp.zeros((R, 128), jnp.int32)
+            count_scr[:] = jnp.zeros((R, 128), jnp.int32)
+
+        cls_rows = _broadcast_rows(classmap_ref[:], 2, R)
+        row_bcasts = _broadcast_rows(table_ref[:], rows, R)
+        warm = warm_ref[:]
+        vend = vend_ref[:]
+        t0 = tile * T_TILE
+
+        def body(u, carry):
+            sbase, counts = carry
+            for j in range(unroll):
+                t = u * unroll + j
+                cls = _class_of(streams_ref[t], cls_rows)
+                v = _lookup_flat(row_bcasts, sbase + cls)
+                sbase = v & _STATE_MASK
+                tg = t0 + t
+                valid = (tg >= warm) & (tg < vend)
+                counts = counts + jnp.where(valid, v >> _STATE_BITS, 0)
+            return sbase, counts
+
+        sbase, counts = jax.lax.fori_loop(
+            0, T_TILE // unroll, body, (state_scr[:], count_scr[:])
+        )
+        state_scr[:] = sbase
+        count_scr[:] = counts
+
+        @pl.when(tile == n_tiles - 1)
+        def _fin():
+            out_ref[:] = count_scr[:]
+
+    return kernel
+
+
+def _make_states_kernel(T_TILE: int, R: int, rows: int, unroll: int):
+    """Same scan, but emits the packed table value per position; the host
+    recovers the state id as ``(v & mask) // k``."""
+
+    def kernel(
+        classmap_ref,
+        table_ref,
+        streams_ref,  # [T_TILE, R, 128] int32
+        out_ref,  # [T_TILE, R, 128] int32 packed values per position
+        state_scr,  # [R, 128] int32
+    ):
+        tile = pl.program_id(0)
+
+        @pl.when(tile == 0)
+        def _init():
+            state_scr[:] = jnp.zeros((R, 128), jnp.int32)
+
+        cls_rows = _broadcast_rows(classmap_ref[:], 2, R)
+        row_bcasts = _broadcast_rows(table_ref[:], rows, R)
+
+        def body(u, sbase):
+            for j in range(unroll):
+                t = u * unroll + j
+                cls = _class_of(streams_ref[t], cls_rows)
+                v = _lookup_flat(row_bcasts, sbase + cls)
+                out_ref[t] = v
+                sbase = v & _STATE_MASK
+            return sbase
+
+        state_scr[:] = jax.lax.fori_loop(0, T_TILE // unroll, body, state_scr[:])
+
+    return kernel
+
+
+class PallasAcEngine:
+    """TPU engine running the class-compressed DFA in a Pallas kernel.
+
+    Capacity-limited (``CapacityError`` when n_states*k exceeds the table
+    budget); the dispatching ``MatchEngine`` treats that as "use another
+    backend". ``interpret=True`` runs the kernel in interpreter mode for
+    CPU-only tests.
+    """
+
+    def __init__(
+        self,
+        machine: AcMachine,
+        n_streams: int = 2048,
+        t_tile: int = 512,
+        max_rows: int = MAX_ROWS,
+        interpret: bool = False,
+        unroll: int = 4,
+    ):
+        if n_streams % 128:
+            raise ValueError("n_streams must be a multiple of 128")
+        if t_tile % unroll:
+            raise ValueError("t_tile must be a multiple of unroll")
+        self.unroll = unroll
+        self.machine = machine
+        self.comp = CompressedMachine.from_machine(machine, max_rows)
+        self.R = n_streams // 128
+        self.S = n_streams
+        self.t_tile = t_tile
+        self.interpret = interpret
+        self.overlap = max(0, machine.max_needle_bytes - 1)
+        cm = np.zeros(256, dtype=np.int32)
+        cm[: len(self.comp.classmap)] = self.comp.classmap
+        self._classmap_dev = jnp.asarray(cm.reshape(2, 128))
+        self._table_dev = jnp.asarray(self.comp.packed.reshape(self.comp.rows, 128))
+        self._count_fn = {}
+        self._states_fn = {}
+
+    # -- layout ------------------------------------------------------------
+
+    def _layout(self, data: np.ndarray):
+        plan = plan_streams(
+            len(data), self.overlap, n_streams=self.S, max_streams=self.S
+        )
+        # Pad time to a multiple of t_tile.
+        emit = plan.emit_len
+        time_len = emit + plan.overlap
+        T = -(-time_len // self.t_tile) * self.t_tile
+        plan = StreamPlan(
+            n=plan.n,
+            n_streams=self.S,
+            emit_len=emit,
+            overlap=plan.overlap,
+            time_len=T,
+        )
+        streams_ts, warm, vend = build_streams(data, plan)
+        return plan, streams_ts, warm, vend
+
+    def _get_count_fn(self, T: int):
+        key = T
+        if key not in self._count_fn:
+            n_tiles = T // self.t_tile
+            kernel = _make_count_kernel(
+                self.t_tile, self.R, self.comp.rows, n_tiles, self.unroll
+            )
+            R, S, t_tile = self.R, self.S, self.t_tile
+
+            @jax.jit
+            def run(classmap, table, warm, vend, streams_u8):
+                # Widen on device: the host->device transfer stays uint8.
+                streams = streams_u8.astype(jnp.int32).reshape(T, R, 128)
+                return pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles,),
+                    in_specs=[
+                        pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (self.comp.rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                        ),
+                        pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (t_tile, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                        ),
+                    ],
+                    out_specs=pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+                    scratch_shapes=[
+                        pltpu.VMEM((R, 128), jnp.int32),
+                        pltpu.VMEM((R, 128), jnp.int32),
+                    ],
+                    interpret=self.interpret,
+                )(classmap, table, warm, vend, streams)
+
+            self._count_fn[key] = run
+        return self._count_fn[key]
+
+    def _get_states_fn(self, T: int):
+        key = T
+        if key not in self._states_fn:
+            n_tiles = T // self.t_tile
+            kernel = _make_states_kernel(self.t_tile, self.R, self.comp.rows, self.unroll)
+            R, S, t_tile = self.R, self.S, self.t_tile
+
+            @jax.jit
+            def run(classmap, table, streams_u8):
+                streams = streams_u8.astype(jnp.int32).reshape(T, R, 128)
+                return pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles,),
+                    in_specs=[
+                        pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (self.comp.rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                        ),
+                        pl.BlockSpec(
+                            (t_tile, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                        ),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (t_tile, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                    ),
+                    out_shape=jax.ShapeDtypeStruct((T, R, 128), jnp.int32),
+                    scratch_shapes=[pltpu.VMEM((R, 128), jnp.int32)],
+                    interpret=self.interpret,
+                )(classmap, table, streams).reshape(T, S)
+
+            self._states_fn[key] = run
+        return self._states_fn[key]
+
+    def _stream_arrays(self, streams_ts, warm, vend):
+        streams_u8 = jnp.asarray(streams_ts)  # uint8 over the wire
+        warm_t = jnp.asarray(warm.reshape(self.R, 128))
+        vend_t = jnp.asarray(vend.reshape(self.R, 128))
+        return streams_u8, warm_t, vend_t
+
+    # -- public ops --------------------------------------------------------
+
+    def count(self, text: utf8.TextLike) -> int:
+        data = utf8.to_u8(text)
+        if len(data) == 0:
+            return 0
+        plan, streams_ts, warm, vend = self._layout(data)
+        streams_i32, warm_t, vend_t = self._stream_arrays(streams_ts, warm, vend)
+        fn = self._get_count_fn(plan.time_len)
+        counts = fn(self._classmap_dev, self._table_dev, warm_t, vend_t, streams_i32)
+        return int(np.asarray(counts, dtype=np.int64).sum())
+
+    def final_states(self, text: utf8.TextLike) -> np.ndarray:
+        data = utf8.to_u8(text)
+        n = len(data)
+        if n == 0:
+            return np.zeros(0, dtype=np.int32)
+        plan, streams_ts, warm, vend = self._layout(data)
+        streams_u8 = jnp.asarray(streams_ts)
+        fn = self._get_states_fn(plan.time_len)
+        packed_ts = np.asarray(fn(self._classmap_dev, self._table_dev, streams_u8))
+        states_ts = (packed_ts & _STATE_MASK) // self.comp.k
+        out = np.empty(n, dtype=np.int32)
+        L = plan.emit_len
+        for i in range(plan.n_streams):
+            emit_begin = i * L
+            if emit_begin >= n:
+                break
+            emit_end = min(emit_begin + L, n)
+            out[emit_begin:emit_end] = states_ts[warm[i] : warm[i] + (emit_end - emit_begin), i]
+        return out
+
+
+__all__ = ["PallasAcEngine", "CompressedMachine", "CapacityError", "MAX_ROWS"]

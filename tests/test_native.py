@@ -1,0 +1,50 @@
+"""Native C++ engine parity tests (skipped if no toolchain)."""
+
+import numpy as np
+import pytest
+
+from alfred_margaret_tpu.models import ac
+from alfred_margaret_tpu.ops.xla_scan import extract_matches
+
+try:
+    from alfred_margaret_tpu.native.cpp_engine import CppAcEngine
+
+    _eng = CppAcEngine(ac.build([(b"x", 0)]))
+    NATIVE = True
+except Exception:
+    NATIVE = False
+
+pytestmark = pytest.mark.skipif(not NATIVE, reason="native toolchain unavailable")
+
+
+def test_parity_with_oracle():
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        needles = [bytes(rng.choice(list(b"abcAB"), size=rng.integers(1, 5))) for _ in range(6)]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        eng = CppAcEngine(m)
+        hay = bytes(rng.choice(list(b"abcAB"), size=20000))
+        oracle = ac.all_matches(m, hay)
+        assert eng.count(hay) == len(oracle)
+        states = eng.final_states(hay)
+        pos, vids = extract_matches(m, states)
+        assert list(pos) == [mm.pos for mm in oracle]
+
+
+def test_multithreaded_matches_single():
+    rng = np.random.default_rng(12)
+    m = ac.build([(b"ab", 0), (b"ba", 1), (b"aab", 2)])
+    eng = CppAcEngine(m)
+    hay = bytes(rng.choice(list(b"ab"), size=500_000))
+    c1 = eng.count(hay, n_threads=1)
+    for nt in (2, 4, 8):
+        assert eng.count(hay, n_threads=nt) == c1
+    s1 = eng.final_states(hay, n_threads=1)
+    s8 = eng.final_states(hay, n_threads=8)
+    assert np.array_equal(s1, s8)
+
+
+def test_empty():
+    m = ac.build([(b"x", 0)])
+    eng = CppAcEngine(m)
+    assert eng.count(b"") == 0

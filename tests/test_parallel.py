@@ -1,0 +1,43 @@
+"""Distributed engine tests on the 8-virtual-device CPU mesh: multi-chip
+counts must equal single-chip results for every mesh shape (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from alfred_margaret_tpu.models import ac
+from alfred_margaret_tpu.parallel import DistributedAcEngine, make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def machine():
+    return ac.build([(n, i) for i, n in enumerate(["tshirt", "shirts", "shorts"])])
+
+
+CORPUS = b"short tshirts and shorts for all, tshirtshirts galore " * 137
+
+
+@pytest.mark.parametrize("data,seq", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_mesh_shapes_agree(machine, data, seq):
+    mesh = make_mesh(jax.devices()[:8], data=data, seq=seq)
+    engine = DistributedAcEngine(machine, mesh)
+    expected = ac.count_matches(machine, CORPUS)
+    assert engine.count(CORPUS) == expected
+
+
+def test_subset_devices(machine):
+    mesh = make_mesh(jax.devices()[:4], data=4, seq=1)
+    engine = DistributedAcEngine(machine, mesh)
+    assert engine.count(CORPUS) == ac.count_matches(machine, CORPUS)
+
+
+def test_empty_and_small(machine):
+    mesh = make_mesh(jax.devices()[:8], data=4, seq=2)
+    engine = DistributedAcEngine(machine, mesh)
+    assert engine.count(b"") == 0
+    assert engine.count(b"tshirt") == 1
