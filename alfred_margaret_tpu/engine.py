@@ -86,6 +86,12 @@ class MatchEngine:
 
     def _pallas_engine(self):
         if self._pallas is None:
+            import jax
+
+            if jax.default_backend() not in ("tpu", "axon"):
+                # Mosaic kernels need TPU hardware; honor the documented
+                # fallback instead of erroring on CPU-only hosts.
+                return self._xla_engine()
             from .ops.pallas_scan import PallasAcEngine
 
             self._pallas = PallasAcEngine(self.machine)

@@ -120,6 +120,45 @@ class Replacer:
     def __hash__(self) -> int:
         return hash(self.searcher)
 
+    # -- serialization -----------------------------------------------------
+    # The reference derives FromJSON/ToJSON generically on the Replacer
+    # record (Replacer.hs:72,83): the stored searcher needles plus their
+    # payloads round-trip, and the automaton is rebuilt on parse.
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(
+            {
+                "caseSensitivity": self.case_sensitivity.to_json(),
+                "needles": [
+                    [
+                        needle.decode("utf-8"),
+                        payload.needle_priority,
+                        payload.needle_length_bytes,
+                        payload.needle_length_code_points,
+                        payload.needle_replacement.decode("utf-8"),
+                    ]
+                    for needle, payload in self.searcher.needles
+                ],
+            }
+        )
+
+    @classmethod
+    def from_json(cls, blob: str, engine: str = "auto") -> "Replacer":
+        import json
+
+        obj = json.loads(blob)
+        case = CaseSensitivity.from_json(obj["caseSensitivity"])
+        pairs = [
+            (
+                needle.encode("utf-8"),
+                Payload(prio, len_b, len_cp, repl.encode("utf-8")),
+            )
+            for needle, prio, len_b, len_cp, repl in obj["needles"]
+        ]
+        return cls(Searcher.build_with_values(case, pairs, engine=engine))
+
     # -- running -----------------------------------------------------------
 
     def run(self, haystack: utf8.TextLike) -> Any:

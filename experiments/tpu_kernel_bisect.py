@@ -46,7 +46,7 @@ def run_variant(name, body_fn):
     best = 1e9
     for _ in range(4):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(cm_d, tab_d, st_d))
+        _res = int(np.asarray(run(cm_d, tab_d, st_d)).sum())
         best = min(best, time.perf_counter()-t0)
     print(f"{name}: {best*1e3:.1f} ms  {T*S/best/1e9:.2f} GB/s  ({best/T*1e9:.0f} ns/step)", flush=True)
 

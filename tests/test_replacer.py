@@ -141,3 +141,14 @@ class TestStructure:
     def test_bytes_in_bytes_out(self):
         r = Replacer.build(CASE_SENSITIVE, [(b"a", b"x")])
         assert r.run(b"aba") == b"xbx"
+
+    def test_json_roundtrip(self):
+        # Reference derives FromJSON/ToJSON on the Replacer record
+        # (Replacer.hs:72,83); round-trip must preserve behaviour and
+        # equality for both case modes.
+        for case in (CASE_SENSITIVE, IGNORE_CASE):
+            r = Replacer.build(case, [("Tshirt", "X"), ("İstanbul", "Y")])
+            rt = Replacer.from_json(r.to_json())
+            assert rt == r
+            hay = "my Tshirt from İSTANBUL tshirt"
+            assert rt.run(hay) == r.run(hay)
