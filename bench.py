@@ -34,33 +34,34 @@ def log(msg: str) -> None:
     print(f"[bench {time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def _time_device_scan(eng, data: np.ndarray):
+def _time_device_scan(eng, data: np.ndarray, reps: int):
     """Stage data on device, return (best seconds over ROUNDS, count).
 
     Every run's result is materialized to host — on the axon relay,
     block_until_ready does not actually block, and letting executions queue
-    up is pathologically slow.
+    up is pathologically slow.  ``reps`` re-scans the resident streams that
+    many times inside one launch (count comes back ``reps *`` base).
     """
     import jax
 
     plan, streams_ts, warm, vend = eng._layout(data)
-    streams_u8, warm_t, vend_t = eng._stream_arrays(streams_ts, warm, vend)
+    streams_u8, warm_t, vend_t, bscal = eng._stream_arrays(streams_ts, warm, vend)
     jax.block_until_ready(streams_u8)
-    fn = eng._get_count_fn(plan.time_len)
+    fn = eng._get_count_fn(plan.time_len, reps)
     count = None
     best = float("inf")
     for i in range(ROUNDS + 1):  # first run = compile/warmup, untimed
         t0 = time.perf_counter()
-        counts = fn(eng._classmap_dev, eng._table_dev, warm_t, vend_t, streams_u8)
+        counts = fn(bscal, eng._classmap_dev, eng._table_dev, warm_t, vend_t, streams_u8)
         got = int(np.asarray(counts, dtype=np.int64).sum())
         dt = time.perf_counter() - t0
         if i == 0:
-            log(f"warmup T={plan.time_len}: {dt:.2f}s count={got}")
+            log(f"warmup T={plan.time_len} reps={reps}: {dt:.2f}s count={got}")
             count = got
         else:
             assert got == count, f"count drift {got} != {count}"
             best = min(best, dt)
-    log(f"T={plan.time_len}: best={best*1e3:.1f}ms over {ROUNDS} rounds")
+    log(f"T={plan.time_len} reps={reps}: best={best*1e3:.1f}ms over {ROUNDS} rounds")
     return best, count
 
 
@@ -89,22 +90,24 @@ def main() -> int:
     except Exception as e:  # pragma: no cover
         log(f"baseline unavailable: {e}")
 
-    # --- TPU pallas kernel: slope between full and half corpus ---
+    # --- TPU pallas kernel: slope between reps to cancel launch overhead ---
     value = None
     try:
         from alfred_margaret_tpu.ops.pallas_scan import PallasAcEngine
 
-        eng = PallasAcEngine(machine, n_streams=8192, t_tile=128)
-        t_half, c_half = _time_device_scan(eng, data[: n_full // 2])
-        t_full, c_full = _time_device_scan(eng, data)
+        eng = PallasAcEngine(machine)
+        r_lo, r_hi = 2, 18
+        t_lo, c_lo = _time_device_scan(eng, data, r_lo)
+        t_hi, c_hi = _time_device_scan(eng, data, r_hi)
+        assert c_lo * r_hi == c_hi * r_lo, f"rep-count mismatch {c_lo}x{r_hi} != {c_hi}x{r_lo}"
         if expected is not None:
-            assert c_full == expected, f"count mismatch {c_full} != {expected}"
-        if t_full > t_half:
-            value = (n_full - n_full // 2) / (t_full - t_half)
-            log(f"slope throughput: {value/1e9:.3f} GB/s")
+            assert c_lo == r_lo * expected, f"count mismatch {c_lo} != {r_lo}*{expected}"
+        if t_hi > t_lo:
+            value = (r_hi - r_lo) * n_full / (t_hi - t_lo)
+            log(f"sustained throughput: {value/1e9:.3f} GB/s")
         else:
-            value = n_full / t_full  # overhead-dominated; report raw
-            log(f"slope degenerate (t_full {t_full:.3f} <= t_half {t_half:.3f}); raw {value/1e9:.3f} GB/s")
+            value = r_hi * n_full / t_hi  # overhead-dominated; report raw
+            log(f"slope degenerate; raw {value/1e9:.3f} GB/s")
     except Exception as e:
         log(f"tpu path failed ({e}); falling back to cpp engine")
         if cpp_bps is None:
