@@ -92,9 +92,16 @@ class MatchEngine:
                 # Mosaic kernels need TPU hardware; honor the documented
                 # fallback instead of erroring on CPU-only hosts.
                 return self._xla_engine()
-            from .ops.pallas_scan import PallasAcEngine
+            from .ops.pallas_scan import CapacityError, PallasAcEngine
 
-            self._pallas = PallasAcEngine(self.machine)
+            try:
+                self._pallas = PallasAcEngine(self.machine)
+            except CapacityError:
+                # Automaton too big for one VMEM table: needle-grouped
+                # multi-pass kernel (ops.grouped).
+                from .ops.grouped import GroupedPallasAcEngine
+
+                self._pallas = GroupedPallasAcEngine(self.machine)
         return self._pallas
 
     def _pick(self, n_bytes: int) -> str:
@@ -102,6 +109,12 @@ class MatchEngine:
             return self.engine
         if n_bytes < AUTO_PYTHON_THRESHOLD:
             return "python"
+        import jax
+
+        if jax.default_backend() in ("tpu", "axon"):
+            # The Pallas kernel dominates the XLA scan on real TPU hardware
+            # (~76 GB/s vs ~0.4 GB/s measured; experiments/tpu_xla_bigtable.py).
+            return "pallas"
         return "xla"
 
     # -- prep --------------------------------------------------------------
@@ -146,12 +159,20 @@ class MatchEngine:
         """All matches with raw-coordinate end positions, emission order."""
         data, lt = self._prep(text, case)
         backend = self._pick(len(data))
+        eng = None
+        if backend == "pallas":
+            eng = self._pallas_engine()
+            if hasattr(eng, "matches_arrays"):  # grouped multi-pass engine
+                ends, value_ids = eng.matches_arrays(data)
+                if lt is not None and len(ends):
+                    ends = lt.raw_end[lt.cp_index[ends - 1]].astype(np.int64)
+                return MatchSet(ends=ends, value_ids=value_ids, lowered=lt)
         if backend == "python":
             states = self._python_states(data)
         elif backend == "cpp":
             states = self._cpp_engine().final_states(data)
         elif backend == "pallas":
-            states = self._pallas_engine().final_states(data)
+            states = eng.final_states(data)
         else:
             states = self._xla_engine().final_states(data)
         from .ops.xla_scan import extract_matches
@@ -173,7 +194,10 @@ class MatchEngine:
             if backend == "cpp":
                 states = self._cpp_engine().final_states(data)
             elif backend == "pallas":
-                states = self._pallas_engine().final_states(data)
+                eng = self._pallas_engine()
+                if hasattr(eng, "value_presence"):  # grouped multi-pass engine
+                    return eng.value_presence(data, len(m.values))
+                states = eng.final_states(data)
             else:
                 states = self._python_states(data)
             hit_states = np.unique(states[m.match_count[states] > 0])

@@ -1,0 +1,178 @@
+"""Needle-grouped multi-pass Pallas engine for large automata.
+
+The VMEM select-chain kernel caps at ``MAX_ROWS * 128`` packed entries
+(``pallas_scan.py``).  Bigger needle sets are partitioned into groups whose
+sub-automata each fit, and the corpus is scanned once per group on-device.
+
+Semantics are preserved exactly:
+
+* counts and value presence are unions/sums over groups (needle sets are
+  disjoint across groups);
+* duplicate needles stay in one group, so the reference's payload-merge
+  emission order (``Automaton.hs:259-263``) is untouched;
+* cross-group match merge orders by ``(end, -needle_byte_len)``: the
+  reference emits same-end matches in state-output order, which is own
+  (longest) needle first then failure-chain (strictly shorter) suffixes
+  (``Automaton.hs:367-380``), and same-end same-length needles are
+  byte-identical, hence in the same group.
+
+Group partitioning is greedy over the original needle order, bounded by an
+exact state count (incremental trie insertion) times an upper bound on the
+byte-class count (distinct bytes + 1), so every group is guaranteed to fit.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..models import ac
+from ..utils import utf8
+from .pallas_scan import MAX_ROWS, CapacityError, PallasAcEngine
+
+
+def partition_needles(machine: ac.AcMachine, max_rows: int = MAX_ROWS) -> List[List[int]]:
+    """Partition value ids (pair indices) into groups whose sub-automata fit
+    ``max_rows * 128`` packed entries. Duplicate needles share a group."""
+    budget = max_rows * 128
+    groups: List[List[int]] = []
+    needle_group: dict = {}
+
+    cur: List[int] = []
+    cur_trie: dict = {}
+    cur_nodes = 1  # root
+    cur_bytes: set = set()
+
+    def close():
+        nonlocal cur, cur_trie, cur_nodes, cur_bytes
+        if cur:
+            groups.append(cur)
+        cur, cur_trie, cur_nodes, cur_bytes = [], {}, 1, set()
+
+    def try_add(needle: bytes) -> bool:
+        """Insert into the running trie estimate; True if still in budget."""
+        nonlocal cur_nodes
+        new_nodes = 0
+        node = cur_trie
+        for b in needle:
+            nxt = node.get(b)
+            if nxt is None:
+                nxt = {}
+                node[b] = nxt
+                new_nodes += 1
+            node = nxt
+        cur_nodes += new_nodes
+        cur_bytes.update(needle)
+        return cur_nodes * (len(cur_bytes) + 1) <= budget
+
+    for vid, needle in enumerate(machine.needles):
+        prev = needle_group.get(needle)
+        if prev is not None:
+            # Duplicate: must join the first occurrence's group (may make
+            # that group's estimate stale, but duplicates add no trie nodes
+            # or bytes, so the bound is unaffected).
+            if prev == -1:
+                cur.append(vid)
+            else:
+                groups[prev].append(vid)
+            continue
+        single_entries = (len(needle) + 1) * (len(set(needle)) + 1)
+        if single_entries > budget:
+            raise CapacityError(
+                f"needle of {len(needle)} bytes cannot fit a {budget}-entry group"
+            )
+        if not try_add(needle):
+            close()
+            # Re-fix group indices for needles closed into the last group.
+            for n, g in needle_group.items():
+                if g == -1:
+                    needle_group[n] = len(groups) - 1
+            try_add(needle)
+        cur.append(vid)
+        needle_group[needle] = -1  # -1 == current open group
+    close()
+    for n, g in needle_group.items():
+        if g == -1:
+            needle_group[n] = len(groups) - 1
+    return groups
+
+
+class GroupedPallasAcEngine:
+    """Multi-pass engine: one Pallas scan per needle group.
+
+    Exposes the same count/match surface the dispatcher needs; match
+    extraction happens internally (per-group states cannot be merged, only
+    the extracted matches can).
+    """
+
+    def __init__(self, machine: ac.AcMachine, max_rows: int = MAX_ROWS, **pallas_kw):
+        self.machine = machine
+        self.groups = partition_needles(machine, max_rows)
+        self.engines: List[PallasAcEngine] = []
+        self.vid_maps: List[np.ndarray] = []
+        # All sub-engines share the FULL machine's overlap so one staged
+        # stream layout serves every group pass (staging dominates
+        # multi-pass cost otherwise).
+        overlap = max(0, machine.max_needle_bytes - 1)
+        for vids in self.groups:
+            pairs = [(machine.needles[v], machine.values[v]) for v in vids]
+            sub = ac.build(pairs)
+            self.engines.append(
+                PallasAcEngine(sub, max_rows=max_rows, overlap=overlap, **pallas_kw)
+            )
+            self.vid_maps.append(np.asarray(vids, dtype=np.int64))
+
+    def _stage(self, text: utf8.TextLike):
+        data = utf8.to_u8(text)
+        if len(data) == 0:
+            return None
+        return self.engines[0].stage(data)
+
+    @property
+    def n_groups(self) -> int:
+        return len(self.engines)
+
+    def count(self, text: utf8.TextLike) -> int:
+        st = self._stage(text)
+        if st is None:
+            return 0
+        return sum(e.count_staged(st) for e in self.engines)
+
+    def matches_arrays(self, text: utf8.TextLike) -> Tuple[np.ndarray, np.ndarray]:
+        """(ends, value_ids) in reference emission order across all groups."""
+        from .xla_scan import extract_matches
+
+        st = self._stage(text)
+        all_ends: List[np.ndarray] = []
+        all_vids: List[np.ndarray] = []
+        for eng, vid_map in zip(self.engines, self.vid_maps):
+            states = eng.final_states_staged(st) if st is not None else np.zeros(0, np.int32)
+            ends, sub_vids = extract_matches(eng.machine, states)
+            all_ends.append(ends)
+            all_vids.append(vid_map[sub_vids])
+        ends = np.concatenate(all_ends) if all_ends else np.zeros(0, np.int64)
+        vids = np.concatenate(all_vids) if all_vids else np.zeros(0, np.int64)
+        if len(ends) == 0:
+            return ends.astype(np.int64), vids.astype(np.int32)
+        lens = np.fromiter(
+            (len(self.machine.needles[int(v)]) for v in vids), np.int64, len(vids)
+        )
+        order = np.lexsort((-lens, ends))  # end asc, longer needle first
+        return ends[order].astype(np.int64), vids[order].astype(np.int32)
+
+    def value_presence(self, text: utf8.TextLike, n_values: int) -> np.ndarray:
+        present = np.zeros(n_values, dtype=bool)
+        st = self._stage(text)
+        if st is None:
+            return present
+        for eng, vid_map in zip(self.engines, self.vid_maps):
+            states = eng.final_states_staged(st)
+            m = eng.machine
+            hit = np.unique(states[m.match_count[states] > 0])
+            for s in hit:
+                present[vid_map[np.asarray(m.outputs(int(s)))]] = True
+        return present
+
+
+__all__ = ["GroupedPallasAcEngine", "partition_needles"]

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,11 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.ac import AcMachine
 from ..utils import utf8
-from .xla_scan import StreamPlan, build_streams, plan_streams
+from .xla_scan import StreamPlan, build_streams, plan_streams, stage_streams_device
 
 #: Maximum flat-table rows (of 128 int32 entries) the kernel will hold and
-#: scan with its select chain.
-MAX_ROWS = 64
+#: scan with its select chain.  Above ~48 rows the Mosaic compiler on this
+#: toolchain fails outright (and the select chain is past its useful speed
+#: anyway); bigger automata go through the needle-grouped multi-pass engine
+#: (``ops.grouped``).
+MAX_ROWS = 48
 
 #: Packed-entry layout: low 20 bits = next_state * k, high 12 bits = count.
 _STATE_BITS = 20
@@ -242,6 +245,19 @@ def _make_states_kernel(T_TILE: int, R: int, rows: int, unroll: int):
     return kernel
 
 
+@dataclass
+class StagedStreams:
+    """Device-resident stream layout, reusable across scans (and across the
+    grouped engine's needle-group passes)."""
+
+    plan: StreamPlan
+    streams_dev: Any  # [T, S] uint8 device array
+    warm_np: np.ndarray  # int32 [S] host copy (final_states assembly)
+    warm_t: Any  # [R, 128] int32 device
+    vend_t: Any  # [R, 128] int32 device
+    bscal: Any  # [2] int32 device (SMEM boundary scalars)
+
+
 class PallasAcEngine:
     """TPU engine running the class-compressed DFA in a Pallas kernel.
 
@@ -258,20 +274,29 @@ class PallasAcEngine:
         t_tile: int = 128,
         max_rows: int = MAX_ROWS,
         interpret: bool = False,
-        unroll: int = 8,
+        unroll: Optional[int] = None,
+        overlap: Optional[int] = None,
     ):
         if n_streams % 128:
             raise ValueError("n_streams must be a multiple of 128")
+        self.machine = machine
+        self.comp = CompressedMachine.from_machine(machine, max_rows)
+        if unroll is None:
+            # The select chain's unrolled body size grows with rows * unroll;
+            # keep compile time (and i-cache pressure) bounded.
+            unroll = 8 if self.comp.rows <= 8 else (4 if self.comp.rows <= 16 else 2)
         if t_tile % unroll:
             raise ValueError("t_tile must be a multiple of unroll")
         self.unroll = unroll
-        self.machine = machine
-        self.comp = CompressedMachine.from_machine(machine, max_rows)
         self.R = n_streams // 128
         self.S = n_streams
         self.t_tile = t_tile
         self.interpret = interpret
-        self.overlap = max(0, machine.max_needle_bytes - 1)
+        self.overlap = (
+            max(0, machine.max_needle_bytes - 1) if overlap is None else overlap
+        )
+        if self.overlap < max(0, machine.max_needle_bytes - 1):
+            raise ValueError("overlap override below the machine's requirement")
         cm = np.zeros(256, dtype=np.int32)
         cm[: len(self.comp.classmap)] = self.comp.classmap
         self._classmap_dev = jnp.asarray(cm.reshape(2, 128))
@@ -383,6 +408,37 @@ class PallasAcEngine:
 
     # -- public ops --------------------------------------------------------
 
+    def stage(self, data: np.ndarray) -> StagedStreams:
+        """Stage a corpus on-device once; reusable across count/state scans
+        (and across the grouped engine's needle-group passes)."""
+        emit = max(1, -(-len(data) // self.S))
+        time_len = emit + self.overlap
+        T = -(-time_len // self.t_tile) * self.t_tile
+        plan = StreamPlan(
+            n=len(data),
+            n_streams=self.S,
+            emit_len=emit,
+            overlap=self.overlap,
+            time_len=T,
+        )
+        streams_dev, warm, vend = stage_streams_device(data, plan)
+        bscal = jnp.asarray(np.array([warm.max(), vend.min()], dtype=np.int32))
+        return StagedStreams(
+            plan=plan,
+            streams_dev=streams_dev,
+            warm_np=warm,
+            warm_t=jnp.asarray(warm.reshape(self.R, 128)),
+            vend_t=jnp.asarray(vend.reshape(self.R, 128)),
+            bscal=bscal,
+        )
+
+    def count_staged(self, st: StagedStreams, reps: int = 1) -> int:
+        fn = self._get_count_fn(st.plan.time_len, reps)
+        counts = fn(
+            st.bscal, self._classmap_dev, self._table_dev, st.warm_t, st.vend_t, st.streams_dev
+        )
+        return int(np.asarray(counts, dtype=np.int64).sum())
+
     def count(self, text: utf8.TextLike, reps: int = 1) -> int:
         """Total match count; ``reps > 1`` re-scans the resident streams that
         many times in one launch (returns ``reps *`` the true count — used by
@@ -390,21 +446,13 @@ class PallasAcEngine:
         data = utf8.to_u8(text)
         if len(data) == 0:
             return 0
-        plan, streams_ts, warm, vend = self._layout(data)
-        streams_u8, warm_t, vend_t, bscal = self._stream_arrays(streams_ts, warm, vend)
-        fn = self._get_count_fn(plan.time_len, reps)
-        counts = fn(bscal, self._classmap_dev, self._table_dev, warm_t, vend_t, streams_u8)
-        return int(np.asarray(counts, dtype=np.int64).sum())
+        return self.count_staged(self.stage(data), reps)
 
-    def final_states(self, text: utf8.TextLike) -> np.ndarray:
-        data = utf8.to_u8(text)
-        n = len(data)
-        if n == 0:
-            return np.zeros(0, dtype=np.int32)
-        plan, streams_ts, warm, vend = self._layout(data)
-        streams_u8 = jnp.asarray(streams_ts)
+    def final_states_staged(self, st: StagedStreams) -> np.ndarray:
+        plan, warm = st.plan, st.warm_np
+        n = plan.n
         fn = self._get_states_fn(plan.time_len)
-        packed_ts = np.asarray(fn(self._classmap_dev, self._table_dev, streams_u8))
+        packed_ts = np.asarray(fn(self._classmap_dev, self._table_dev, st.streams_dev))
         states_ts = (packed_ts & _STATE_MASK) // self.comp.k
         out = np.empty(n, dtype=np.int32)
         L = plan.emit_len
@@ -415,6 +463,12 @@ class PallasAcEngine:
             emit_end = min(emit_begin + L, n)
             out[emit_begin:emit_end] = states_ts[warm[i] : warm[i] + (emit_end - emit_begin), i]
         return out
+
+    def final_states(self, text: utf8.TextLike) -> np.ndarray:
+        data = utf8.to_u8(text)
+        if len(data) == 0:
+            return np.zeros(0, dtype=np.int32)
+        return self.final_states_staged(self.stage(data))
 
 
 __all__ = ["PallasAcEngine", "CompressedMachine", "CapacityError", "MAX_ROWS"]

@@ -94,19 +94,78 @@ def build_streams(data: np.ndarray, plan: StreamPlan) -> Tuple[np.ndarray, np.nd
     and per-stream emission is valid for t in [warm_start[s], valid_end[s]).
     """
     n, S, L, K, T = plan.n, plan.n_streams, plan.emit_len, plan.overlap, plan.time_len
-    streams = np.zeros((S, T), dtype=np.uint8)
-    warm_start = np.zeros(S, dtype=np.int32)
-    valid_end = np.zeros(S, dtype=np.int32)
-    for i in range(S):
-        emit_begin = i * L
-        emit_end = min(emit_begin + L, n)
-        start = max(0, emit_begin - K)
-        chunk = data[start : min(start + T, n)]
-        streams[i, : len(chunk)] = chunk
-        warm = emit_begin - start
-        warm_start[i] = warm
-        valid_end[i] = warm + max(0, emit_end - emit_begin)
-    return np.ascontiguousarray(streams.T), warm_start, valid_end
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    # Vectorized sliding windows over a zero-padded buffer: stream i reads
+    # data[i*L - K : i*L - K + T].  The left pad makes the striding uniform;
+    # stream 0 is then fixed up to start at data[0] (zero padding must never
+    # be scanned inside a warm-up region that feeds emission state: needles
+    # may contain NUL bytes).
+    pad = np.zeros(K + max((S - 1) * L + T, n), dtype=np.uint8)
+    pad[K : K + n] = data
+    windows = np.lib.stride_tricks.sliding_window_view(pad, T)[:: max(1, L)][:S]
+    streams = windows.T.copy()  # [T, S] (copy: the window view is read-only)
+    # Streams whose emit start is within K of the text head would otherwise
+    # scan left-padding zeros; they read from data[0] instead (matching the
+    # reference layout: start = max(0, i*L - K)).
+    n_fix = 1 if L >= K else min(S, _ceil_div(K, L))
+    for i in range(n_fix):
+        streams[:, i] = pad[K : K + T]
+    idx = np.arange(S, dtype=np.int64)
+    emit_begin = idx * L
+    emit_end = np.minimum(emit_begin + L, n)
+    warm_start = np.minimum(K, emit_begin)
+    valid_end = warm_start + np.maximum(0, emit_end - emit_begin)
+    return streams, warm_start.astype(np.int32), valid_end.astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("L", "T", "S", "K", "n_fix"))
+def _window_device(pad_dev, *, L: int, T: int, S: int, K: int, n_fix: int):
+    """Device-side stream windowing: [T, S] u8 from the zero-padded corpus.
+
+    streams[t, s] = pad[s*L + t] is a transpose of ``pad.reshape(rows, L)``
+    followed by column-shifted slices — pure reshape/transpose/slice/concat,
+    no gather (XLA gathers are ~0.2 GB/s on TPU; this path runs at HBM
+    speed).  The first ``n_fix`` streams read from data[0] instead (their
+    windows would otherwise scan left padding; cf. ``build_streams``).
+    """
+    rows = pad_dev.shape[0] // L
+    m = pad_dev.reshape(rows, L).T  # [L, rows]
+    segs = []
+    t = 0
+    while t < T:
+        j = t // L
+        seg_len = min(L, T - t)
+        segs.append(jax.lax.slice(m, (0, j), (seg_len, j + S)))
+        t += seg_len
+    streams = jnp.concatenate(segs, axis=0) if len(segs) > 1 else segs[0]
+    if n_fix:
+        col = jax.lax.slice(pad_dev, (K,), (K + T,))
+        streams = jax.lax.dynamic_update_slice(
+            streams, jnp.broadcast_to(col[:, None], (T, n_fix)), (0, 0)
+        )
+    return streams
+
+
+def stage_streams_device(data: np.ndarray, plan: StreamPlan):
+    """Transfer the corpus once (raw bytes) and window it on-device.
+
+    Returns (streams_dev [T, S] uint8 device array, warm_start, valid_end).
+    Semantically identical to ``build_streams`` + transfer, but the host does
+    no windowing work and the wire carries n + O(S*L) bytes.
+    """
+    n, S, L, K, T = plan.n, plan.n_streams, plan.emit_len, plan.overlap, plan.time_len
+    rows = max(S + _ceil_div(T, L), _ceil_div(K + n, L)) + 1
+    pad = np.zeros(rows * L, dtype=np.uint8)
+    pad[K : K + n] = data
+    pad_dev = jnp.asarray(pad)
+    n_fix = 1 if L >= K else min(S, _ceil_div(K, L))
+    streams_dev = _window_device(pad_dev, L=L, T=T, S=S, K=K, n_fix=n_fix)
+    idx = np.arange(S, dtype=np.int64)
+    emit_begin = idx * L
+    emit_end = np.minimum(emit_begin + L, n)
+    warm_start = np.minimum(K, emit_begin)
+    valid_end = warm_start + np.maximum(0, emit_end - emit_begin)
+    return streams_dev, warm_start.astype(np.int32), valid_end.astype(np.int32)
 
 
 @dataclass

@@ -44,24 +44,21 @@ def _time_device_scan(eng, data: np.ndarray, reps: int):
     """
     import jax
 
-    plan, streams_ts, warm, vend = eng._layout(data)
-    streams_u8, warm_t, vend_t, bscal = eng._stream_arrays(streams_ts, warm, vend)
-    jax.block_until_ready(streams_u8)
-    fn = eng._get_count_fn(plan.time_len, reps)
+    st = eng.stage(data)
+    jax.block_until_ready(st.streams_dev)
     count = None
     best = float("inf")
     for i in range(ROUNDS + 1):  # first run = compile/warmup, untimed
         t0 = time.perf_counter()
-        counts = fn(bscal, eng._classmap_dev, eng._table_dev, warm_t, vend_t, streams_u8)
-        got = int(np.asarray(counts, dtype=np.int64).sum())
+        got = eng.count_staged(st, reps)
         dt = time.perf_counter() - t0
         if i == 0:
-            log(f"warmup T={plan.time_len} reps={reps}: {dt:.2f}s count={got}")
+            log(f"warmup T={st.plan.time_len} reps={reps}: {dt:.2f}s count={got}")
             count = got
         else:
             assert got == count, f"count drift {got} != {count}"
             best = min(best, dt)
-    log(f"T={plan.time_len} reps={reps}: best={best*1e3:.1f}ms over {ROUNDS} rounds")
+    log(f"T={st.plan.time_len} reps={reps}: best={best*1e3:.1f}ms over {ROUNDS} rounds")
     return best, count
 
 

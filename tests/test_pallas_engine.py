@@ -78,3 +78,66 @@ class TestPallasInterpretParity:
         eng = self._engine(m)
         assert eng.count(b"") == 0
         assert len(eng.final_states(b"")) == 0
+
+
+class TestGroupedEngine:
+    """Needle-grouped multi-pass engine (ops.grouped) parity, interpret mode."""
+
+    def _grouped(self, m, max_rows):
+        from alfred_margaret_tpu.ops.grouped import GroupedPallasAcEngine
+
+        return GroupedPallasAcEngine(
+            m, max_rows=max_rows, n_streams=256, t_tile=64, interpret=True, unroll=4
+        )
+
+    def test_partition_bounds(self):
+        from alfred_margaret_tpu.ops.grouped import partition_needles
+        from alfred_margaret_tpu.ops.pallas_scan import CompressedMachine
+
+        rng = np.random.default_rng(1)
+        needles = [
+            bytes(rng.integers(97, 107, size=rng.integers(2, 7))) for _ in range(80)
+        ]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        groups = partition_needles(m, max_rows=4)
+        assert len(groups) > 1
+        # Every vid appears exactly once.
+        flat = sorted(v for g in groups for v in g)
+        assert flat == list(range(len(needles)))
+        # Every group's sub-machine really fits.
+        for vids in groups:
+            sub = ac.build([(m.needles[v], v) for v in vids])
+            CompressedMachine.from_machine(sub, max_rows=4)
+
+    def test_duplicates_share_group(self):
+        from alfred_margaret_tpu.ops.grouped import partition_needles
+
+        needles = [b"abc", b"xyz", b"abc", b"qqq", b"abc"]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        groups = partition_needles(m, max_rows=1)
+        by_vid = {v: gi for gi, g in enumerate(groups) for v in g}
+        assert by_vid[0] == by_vid[2] == by_vid[4]
+
+    def test_count_and_match_parity(self):
+        rng = np.random.default_rng(2)
+        needles = [
+            bytes(rng.integers(97, 103, size=rng.integers(2, 5))) for _ in range(40)
+        ]
+        pairs = [(n, i) for i, n in enumerate(needles)]
+        m = ac.build(pairs)
+        eng = self._grouped(m, max_rows=2)
+        assert eng.n_groups > 1
+        hay = bytes(rng.integers(97, 103, size=4000))
+        oracle = ac.all_matches(m, hay)
+        assert eng.count(hay) == len(oracle)
+        ends, vids = eng.matches_arrays(hay)
+        assert [(int(e), int(v)) for e, v in zip(ends, vids)] == [
+            (mt.pos, mt.value) for mt in oracle
+        ]
+
+    def test_value_presence(self):
+        needles = [b"aa", b"bb", b"cc", b"dd", b"ee"]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        eng = self._grouped(m, max_rows=1)
+        pres = eng.value_presence(b"xx aa yy cc zz" * 100, len(m.values))
+        assert list(pres) == [True, False, True, False, False]
