@@ -165,7 +165,7 @@ class MatchEngine:
             if hasattr(eng, "matches_arrays"):  # grouped multi-pass engine
                 ends, value_ids = eng.matches_arrays(data)
                 if lt is not None and len(ends):
-                    ends = lt.raw_end[lt.cp_index[ends - 1]].astype(np.int64)
+                    ends = lt.map_ends_to_raw(ends)
                 return MatchSet(ends=ends, value_ids=value_ids, lowered=lt)
         if backend == "python":
             states = self._python_states(data)
@@ -179,7 +179,7 @@ class MatchEngine:
 
         ends, value_ids = extract_matches(self.machine, states)
         if lt is not None and len(ends):
-            ends = lt.raw_end[lt.cp_index[ends - 1]].astype(np.int64)
+            ends = lt.map_ends_to_raw(ends)
         return MatchSet(ends=ends, value_ids=value_ids, lowered=lt)
 
     def value_presence(self, text: utf8.TextLike, case: CaseSensitivity) -> np.ndarray:

@@ -124,4 +124,104 @@ int64_t am_memscan_baseline(const uint8_t* data, int64_t n) {
   return (int64_t)acc;
 }
 
+// UTF-8 simple-lowercase transducer, bit-identical to the vectorized numpy
+// path (utils/utf8.py decode_utf8_np + LOWER_TABLE + encode_utf8_np):
+// every byte with a nonzero lead length starts a code point (stateless per
+// position — malformed overlapping sequences decode exactly like the numpy
+// fallback, reading zero past the end), each decoded cp maps through
+// lower_map (int32[0x110000]) and re-encodes.
+//
+// Outputs: lowered bytes -> out (capacity out_cap); per-cp raw byte start
+// -> raw_start; per-cp raw byte length -> raw_len; per-cp output byte
+// length -> out_len.  Returns the cp count, or -1 if out_cap would
+// overflow.  *out_nbytes receives the lowered byte count.
+int64_t am_lower_transform(const int32_t* lower_map, const uint8_t* data,
+                           int64_t n, uint8_t* out, int64_t out_cap,
+                           int32_t* raw_start, int32_t* raw_len,
+                           int32_t* out_len, int64_t* out_nbytes) {
+  // Lead lengths match utf8._LEAD_LEN: 0x00-0x7F: 1; 0x80-0xBF: 0 (trail);
+  // 0xC0-0xDF: 2; 0xE0-0xEF: 3; 0xF0-0xF8: 4; 0xF9-0xFF: 0.
+  auto lead_len = [](uint8_t b) -> int {
+    if (b < 0x80) return 1;
+    if (b < 0xC0) return 0;
+    if (b < 0xE0) return 2;
+    if (b < 0xF0) return 3;
+    if (b < 0xF9) return 4;
+    return 0;
+  };
+  int64_t n_cps = 0;
+  int64_t o = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t b0 = data[i];
+    int l = lead_len(b0);
+    if (l == 0) continue;
+    uint32_t b1 = (i + 1 < n) ? (data[i + 1] & 0x3F) : 0;
+    uint32_t b2 = (i + 2 < n) ? (data[i + 2] & 0x3F) : 0;
+    uint32_t b3 = (i + 3 < n) ? (data[i + 3] & 0x3F) : 0;
+    uint32_t cp;
+    switch (l) {
+      case 1: cp = b0; break;
+      case 2: cp = ((uint32_t)(b0 & 0x1F) << 6) | b1; break;
+      case 3: cp = ((uint32_t)(b0 & 0x0F) << 12) | (b1 << 6) | b2; break;
+      default: cp = ((uint32_t)(b0 & 0x07) << 18) | (b1 << 12) | (b2 << 6) | b3; break;
+    }
+    if (cp < 0x110000u) cp = (uint32_t)lower_map[cp];
+    int ol;
+    if (cp < 0x80u) ol = 1;
+    else if (cp < 0x800u) ol = 2;
+    else if (cp < 0x10000u) ol = 3;
+    else ol = 4;
+    if (o + ol > out_cap) return -1;
+    switch (ol) {
+      case 1:
+        out[o] = (uint8_t)cp;
+        break;
+      case 2:
+        out[o] = (uint8_t)(0xC0 | (cp >> 6));
+        out[o + 1] = (uint8_t)(0x80 | (cp & 0x3F));
+        break;
+      case 3:
+        out[o] = (uint8_t)(0xE0 | (cp >> 12));
+        out[o + 1] = (uint8_t)(0x80 | ((cp >> 6) & 0x3F));
+        out[o + 2] = (uint8_t)(0x80 | (cp & 0x3F));
+        break;
+      default:
+        out[o] = (uint8_t)(0xF0 | (cp >> 18));
+        out[o + 1] = (uint8_t)(0x80 | ((cp >> 12) & 0x3F));
+        out[o + 2] = (uint8_t)(0x80 | ((cp >> 6) & 0x3F));
+        out[o + 3] = (uint8_t)(0x80 | (cp & 0x3F));
+        break;
+    }
+    raw_start[n_cps] = (int32_t)i;
+    raw_len[n_cps] = (int32_t)l;
+    out_len[n_cps] = (int32_t)ol;
+    n_cps++;
+    o += ol;
+  }
+  *out_nbytes = o;
+  return n_cps;
+}
+
+// ASCII byte-LUT map (A-Z += 0x20) -- the pure-ASCII fast path.
+void am_lower_ascii(const uint8_t* data, int64_t n, uint8_t* out) {
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t b = data[i];
+    out[i] = (b >= 'A' && b <= 'Z') ? (uint8_t)(b + 0x20) : b;
+  }
+}
+
+// Returns 1 iff all bytes < 0x80.
+int32_t am_is_ascii(const uint8_t* data, int64_t n) {
+  int64_t i = 0;
+  const uint64_t* p = reinterpret_cast<const uint64_t*>(data);
+  int64_t words = n / 8;
+  uint64_t acc = 0;
+  for (int64_t w = 0; w < words; w++) acc |= p[w];
+  if (acc & 0x8080808080808080ull) return 0;
+  for (i = words * 8; i < n; i++)
+    if (data[i] & 0x80) return 0;
+  return 1;
+}
+
 }  // extern "C"
+

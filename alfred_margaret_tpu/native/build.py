@@ -100,5 +100,21 @@ def load() -> ctypes.CDLL:
         ]
         lib.am_memscan_baseline.restype = ctypes.c_int64
         lib.am_memscan_baseline.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.am_lower_transform.restype = ctypes.c_int64
+        lib.am_lower_transform.argtypes = [
+            ctypes.c_void_p,  # lower_map
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,  # n
+            ctypes.c_void_p,  # out
+            ctypes.c_int64,  # out_cap
+            ctypes.c_void_p,  # raw_start
+            ctypes.c_void_p,  # raw_len
+            ctypes.c_void_p,  # out_len
+            ctypes.c_void_p,  # out_nbytes
+        ]
+        lib.am_lower_ascii.restype = None
+        lib.am_lower_ascii.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.am_is_ascii.restype = ctypes.c_int32
+        lib.am_is_ascii.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         _LIB = lib
         return lib

@@ -224,9 +224,8 @@ class Replacer:
         if self.case_sensitivity is IGNORE_CASE:
             lt = ms.lowered
             lenc = payload.needle_length_code_points
-            end_cp = _cp_index_of_raw_end(lt, ends)
-            start_cp = end_cp - (lenc - 1)
-            starts = lt.raw_start[start_cp].astype(np.int64)
+            end_cp = lt.cp_of_raw_end(ends)
+            starts = lt.raw_start_of_cp(end_cp - (lenc - 1))
         else:
             starts = ends - payload.needle_length_bytes
         # Engine emission order is ascending end = ascending start here (all
@@ -248,12 +247,6 @@ class Replacer:
             (p, payload, np.asarray(kept_starts, dtype=np.int64), np.asarray(kept_ends, dtype=np.int64)),
             delta,
         )
-
-
-def _cp_index_of_raw_end(lt: utf8.LoweredText, raw_ends: np.ndarray) -> np.ndarray:
-    """Map raw match-end offsets to the index of the code point ending there
-    (raw_end is strictly increasing per code point)."""
-    return np.searchsorted(lt.raw_end, raw_ends, side="left")
 
 
 def _splice(data: bytes, starts: np.ndarray, ends: np.ndarray, replacement: bytes) -> bytes:

@@ -71,8 +71,8 @@ class Splitter:
             lenc = len(self._separator_str)
             if len(ms.ends):
                 lt = ms.lowered
-                end_cp = np.searchsorted(lt.raw_end, ms.ends, side="left")
-                sep_starts = lt.raw_start[end_cp - (lenc - 1)].astype(np.int64)
+                end_cp = lt.cp_of_raw_end(ms.ends)
+                sep_starts = lt.raw_start_of_cp(end_cp - (lenc - 1))
             else:
                 sep_starts = np.zeros(0, dtype=np.int64)
         else:

@@ -272,7 +272,9 @@ def decode_utf8_np(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]
     if n == 0:
         z = np.zeros(0, dtype=np.int32)
         return z, z.copy(), z.copy()
-    lens_at = _LEAD_LEN[arr]
+    # numpy 2.x: fancy indexing by a uint8 index array is ~12x slower than
+    # by int32 (np.take ~100x); widen indices first.
+    lens_at = _LEAD_LEN[arr.astype(np.int32)]
     starts = np.flatnonzero(lens_at).astype(np.int32)
     lens = lens_at[starts].astype(np.int32)
     # Pad so unconditional gathers at starts+1..3 stay in bounds.
@@ -331,7 +333,6 @@ def encode_utf8_np(cps: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return out, out_lens
 
 
-@dataclass
 class LoweredText:
     """A lowercased byte stream annotated with raw-byte coordinates.
 
@@ -340,20 +341,105 @@ class LoweredText:
     code-point-wise on the fly and counting raw code units,
     ``AhoCorasick/Automaton.hs:468-480``; we lower up front and carry maps).
 
-    Attributes:
+    Attributes (materialized lazily — the common pure-ASCII case is an
+    identity mapping and never allocates them; use the ``map_ends_to_raw`` /
+    ``cp_of_raw_end`` / ``raw_start_of_cp`` methods where possible):
+
       lowered:   np.uint8 lowered byte stream (byte lengths may differ from raw!)
       cp_index:  np.int32 per lowered byte: index of the code point it encodes
       raw_start: np.int32 per code point: raw byte offset of its first raw byte
       raw_end:   np.int32 per code point: raw byte offset one past its last raw byte
     """
 
-    lowered: np.ndarray
-    cp_index: np.ndarray
-    raw_start: np.ndarray
-    raw_end: np.ndarray
+    def __init__(
+        self,
+        lowered: np.ndarray,
+        cp_index: np.ndarray = None,
+        raw_start: np.ndarray = None,
+        raw_end: np.ndarray = None,
+        *,
+        identity: bool = False,
+        out_lens: np.ndarray = None,
+    ):
+        self.lowered = lowered
+        self._identity = identity
+        self._cp_index = cp_index
+        self._raw_start = raw_start
+        self._raw_end = raw_end
+        self._out_lens = out_lens  # int32 [n_cps] lowered byte length per cp
+        self._out_starts = None
+
+    @property
+    def identity(self) -> bool:
+        """True when lowered byte i corresponds 1:1 to raw byte i."""
+        return self._identity
+
+    @property
+    def cp_index(self) -> np.ndarray:
+        if self._cp_index is None:
+            if self._identity:
+                self._cp_index = np.arange(len(self.lowered), dtype=np.int32)
+            else:
+                self._cp_index = np.repeat(
+                    np.arange(len(self._out_lens), dtype=np.int32), self._out_lens
+                )
+        return self._cp_index
+
+    @property
+    def raw_start(self) -> np.ndarray:
+        if self._raw_start is None and self._identity:
+            self._raw_start = np.arange(len(self.lowered), dtype=np.int32)
+        return self._raw_start
+
+    @property
+    def raw_end(self) -> np.ndarray:
+        if self._raw_end is None and self._identity:
+            self._raw_end = np.arange(1, len(self.lowered) + 1, dtype=np.int32)
+        return self._raw_end
+
+    def _lowered_cp_starts(self) -> np.ndarray:
+        """Lowered byte offset at which each code point starts."""
+        if self._out_starts is None:
+            starts = np.zeros(len(self._out_lens) + 1, dtype=np.int64)
+            np.cumsum(self._out_lens, out=starts[1:])
+            self._out_starts = starts[:-1]
+        return self._out_starts
+
+    def cp_of_lowered(self, lowered_pos) -> np.ndarray:
+        """Code point index covering each lowered byte position (sparse)."""
+        if self._identity:
+            return np.asarray(lowered_pos, dtype=np.int64)
+        if self._cp_index is not None:
+            return self._cp_index[lowered_pos].astype(np.int64)
+        return (
+            np.searchsorted(self._lowered_cp_starts(), lowered_pos, side="right") - 1
+        )
+
+    def map_ends_to_raw(self, lowered_ends) -> np.ndarray:
+        """Lowered-coords match ends (one past last byte) -> raw coords."""
+        if self._identity:
+            return np.asarray(lowered_ends, dtype=np.int64)
+        return self.raw_end[self.cp_of_lowered(np.asarray(lowered_ends) - 1)].astype(
+            np.int64
+        )
+
+    def cp_of_raw_end(self, raw_ends) -> np.ndarray:
+        """Index of the code point whose raw encoding ends at raw_ends."""
+        if self._identity:
+            return np.asarray(raw_ends, dtype=np.int64) - 1
+        return np.searchsorted(self.raw_end, raw_ends, side="left")
+
+    def raw_start_of_cp(self, cp_idx) -> np.ndarray:
+        if self._identity:
+            return np.asarray(cp_idx, dtype=np.int64)
+        return self.raw_start[cp_idx].astype(np.int64)
 
     @property
     def n_code_points(self) -> int:
+        if self._identity:
+            return len(self.lowered)
+        if self._out_lens is not None:
+            return len(self._out_lens)
         return len(self.raw_start)
 
     def match_raw_end(self, lowered_end: int) -> int:
@@ -369,6 +455,26 @@ class LoweredText:
         return int(self.raw_start[start_cp])
 
 
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    """The native helper library, or None (no toolchain / disabled)."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        if os.environ.get("AMT_NO_NATIVE"):
+            return None
+        try:
+            from ..native import build as _native_build
+
+            _NATIVE_LIB = _native_build.load()
+        except Exception:
+            _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
 def lower_transform(text: TextLike) -> LoweredText:
     """Lowercase a UTF-8 byte stream, carrying raw coordinates.
 
@@ -378,21 +484,51 @@ def lower_transform(text: TextLike) -> LoweredText:
     """
     arr = to_u8(text)
     n = len(arr)
-    if n == 0 or int(arr.max(initial=0)) < 0x80:
-        idx = np.arange(n, dtype=np.int32)
+    lib = _native_lib()
+    if lib is not None and n:
+        arr_c = np.ascontiguousarray(arr)
+        if lib.am_is_ascii(arr_c.ctypes.data, n):
+            out = np.empty(n, dtype=np.uint8)
+            lib.am_lower_ascii(arr_c.ctypes.data, n, out.ctypes.data)
+            return LoweredText(lowered=out, identity=True)
+        cap = n + n // 2 + 8
+        while True:
+            out = np.empty(cap, dtype=np.uint8)
+            raw_start = np.empty(n, dtype=np.int32)
+            raw_len = np.empty(n, dtype=np.int32)
+            out_len = np.empty(n, dtype=np.int32)
+            out_nbytes = np.zeros(1, dtype=np.int64)
+            n_cps = int(
+                lib.am_lower_transform(
+                    LOWER_TABLE.ctypes.data,
+                    arr_c.ctypes.data,
+                    n,
+                    out.ctypes.data,
+                    cap,
+                    raw_start.ctypes.data,
+                    raw_len.ctypes.data,
+                    out_len.ctypes.data,
+                    out_nbytes.ctypes.data,
+                )
+            )
+            if n_cps >= 0:
+                break
+            cap = 4 * n + 8  # malformed input can exceed the 1.5x bound
+        raw_start = raw_start[:n_cps]
         return LoweredText(
-            lowered=ASCII_LOWER_BYTES[arr],
-            cp_index=idx,
-            raw_start=idx.copy(),
-            raw_end=idx + 1,
+            lowered=out[: int(out_nbytes[0])],
+            raw_start=raw_start,
+            raw_end=(raw_start + raw_len[:n_cps]).astype(np.int32),
+            out_lens=out_len[:n_cps],
         )
+    if n == 0 or int(arr.max(initial=0)) < 0x80:
+        return LoweredText(lowered=ASCII_LOWER_BYTES[arr.astype(np.int32)], identity=True)
     cps, starts, lens = decode_utf8_np(arr)
     low_cps = LOWER_TABLE[cps]
     lowered, out_lens = encode_utf8_np(low_cps)
-    cp_index = np.repeat(np.arange(len(cps), dtype=np.int32), out_lens)
     return LoweredText(
         lowered=lowered,
-        cp_index=cp_index,
         raw_start=starts,
         raw_end=(starts + lens).astype(np.int32),
+        out_lens=out_lens,
     )
