@@ -197,6 +197,14 @@ class MatchEngine:
                 eng = self._pallas_engine()
                 if hasattr(eng, "value_presence"):  # grouped multi-pass engine
                     return eng.value_presence(data, len(m.values))
+                if hasattr(eng, "match_positions_staged"):
+                    # Device-side compaction: only hit states come back.
+                    _, hit = eng.match_positions_staged(eng.stage(data))
+                    hit_states = np.unique(hit)
+                    present = np.zeros(len(m.values), dtype=bool)
+                    for s in hit_states:
+                        present[m.outputs(int(s))] = True
+                    return present
                 states = eng.final_states(data)
             else:
                 states = self._python_states(data)

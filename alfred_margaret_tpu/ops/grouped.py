@@ -141,14 +141,16 @@ class GroupedPallasAcEngine:
 
     def matches_arrays(self, text: utf8.TextLike) -> Tuple[np.ndarray, np.ndarray]:
         """(ends, value_ids) in reference emission order across all groups."""
-        from .xla_scan import extract_matches
+        from .pallas_scan import _expand_outputs
 
         st = self._stage(text)
         all_ends: List[np.ndarray] = []
         all_vids: List[np.ndarray] = []
         for eng, vid_map in zip(self.engines, self.vid_maps):
-            states = eng.final_states_staged(st) if st is not None else np.zeros(0, np.int32)
-            ends, sub_vids = extract_matches(eng.machine, states)
+            if st is None:
+                continue
+            pos, states = eng.match_positions_staged(st)
+            ends, sub_vids = _expand_outputs(eng.machine, pos, states)
             all_ends.append(ends)
             all_vids.append(vid_map[sub_vids])
         ends = np.concatenate(all_ends) if all_ends else np.zeros(0, np.int64)
@@ -167,10 +169,9 @@ class GroupedPallasAcEngine:
         if st is None:
             return present
         for eng, vid_map in zip(self.engines, self.vid_maps):
-            states = eng.final_states_staged(st)
+            _, states = eng.match_positions_staged(st)
             m = eng.machine
-            hit = np.unique(states[m.match_count[states] > 0])
-            for s in hit:
+            for s in np.unique(states):
                 present[vid_map[np.asarray(m.outputs(int(s)))]] = True
         return present
 

@@ -363,12 +363,24 @@ class PallasAcEngine:
             self._count_fn[key] = run
         return self._count_fn[key]
 
+    def _states_t_tile(self) -> int:
+        """Time tile for the states kernel: its int32 output block plus the
+        uint8 input block, both double-buffered, must fit the ~16 MiB scoped
+        VMEM budget (10 bytes/stream/step total)."""
+        budget = 12 << 20
+        tt = self.t_tile
+        while tt > 8 and tt * self.S * 10 > budget:
+            tt //= 2
+        return max(tt, 8)
+
     def _get_states_fn(self, T: int):
         key = T
         if key not in self._states_fn:
-            n_tiles = T // self.t_tile
-            kernel = _make_states_kernel(self.t_tile, self.R, self.comp.rows, self.unroll)
-            R, S, t_tile = self.R, self.S, self.t_tile
+            t_tile = self._states_t_tile()
+            n_tiles = T // t_tile
+            unroll = min(self.unroll, t_tile)
+            kernel = _make_states_kernel(t_tile, self.R, self.comp.rows, unroll)
+            R, S = self.R, self.S
 
             @jax.jit
             def run(classmap, table, streams_u8):
@@ -470,5 +482,94 @@ class PallasAcEngine:
             return np.zeros(0, dtype=np.int32)
         return self.final_states_staged(self.stage(data))
 
+    # -- on-device match extraction ----------------------------------------
 
-__all__ = ["PallasAcEngine", "CompressedMachine", "CapacityError", "MAX_ROWS"]
+    def _get_extract_fn(self, T: int, cap: int):
+        key = ("extract", T, cap)
+        if key not in self._count_fn:
+            S = self.S
+
+            @jax.jit
+            def ex(packed_ts, warm_s, vend_s, L):
+                # Hit mask from the packed per-position values: count rides
+                # in the high bits, so no big state->count gather is needed.
+                cnt = packed_ts >> _STATE_BITS
+                tg = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+                valid = (tg >= warm_s[None, :]) & (tg < vend_s[None, :])
+                mask = (cnt > 0) & valid
+                flat = mask.reshape(-1)
+                n_hits = jnp.sum(flat, dtype=jnp.int32)
+                (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
+                t = (idx // S).astype(jnp.int64)
+                st = (idx % S).astype(jnp.int64)
+                pos = st * L + (t - warm_s[st].astype(jnp.int64)) + 1
+                pk = packed_ts.reshape(-1)[idx]
+                return pos, pk, n_hits
+
+            self._count_fn[key] = ex
+        return self._count_fn[key]
+
+    def match_positions_staged(self, st: StagedStreams):
+        """(global end positions ascending, state ids) without reading the
+        full per-position state array back to the host.
+
+        The states kernel leaves packed values in device HBM; a jitted
+        compaction (mask -> fixed-capacity nonzero) returns only the hits.
+        Capacity grows geometrically on overflow (count_staged bounds it
+        from above on the first try).
+        """
+        plan = st.plan
+        fn = self._get_states_fn(plan.time_len)
+        packed = fn(self._classmap_dev, self._table_dev, st.streams_dev)
+        warm_s = jnp.asarray(st.warm_np)
+        vend_s = st.vend_t.reshape(-1)
+        cap = 1 << max(12, int(np.ceil(np.log2(self.count_staged(st) + 64))))
+        cap = min(cap, plan.time_len * self.S)
+        while True:
+            ex = self._get_extract_fn(plan.time_len, cap)
+            pos, pk, n_hits = ex(packed, warm_s, vend_s, plan.emit_len)
+            n = int(n_hits)
+            if n <= cap:
+                break
+            cap = 1 << int(np.ceil(np.log2(n + 1)))
+        pos = np.asarray(pos[:n], dtype=np.int64)
+        pk = np.asarray(pk[:n])
+        states = ((pk & _STATE_MASK) // self.comp.k).astype(np.int64)
+        order = np.argsort(pos, kind="stable")
+        return pos[order], states[order]
+
+    def matches_arrays(self, text: utf8.TextLike) -> Tuple[np.ndarray, np.ndarray]:
+        """(ends, value_ids) in reference emission order, device-extracted."""
+        data = utf8.to_u8(text)
+        if len(data) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int32)
+        return self.matches_arrays_staged(self.stage(data))
+
+    def matches_arrays_staged(self, st: StagedStreams) -> Tuple[np.ndarray, np.ndarray]:
+        pos, states = self.match_positions_staged(st)
+        return _expand_outputs(self.machine, pos, states)
+
+
+def _expand_outputs(machine: AcMachine, pos: np.ndarray, states: np.ndarray):
+    """CSR-expand per-hit states into (ends, value_ids), emission order."""
+    if len(pos) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int32)
+    counts = machine.match_count[states]
+    ends = np.repeat(pos, counts)
+    offs = machine.out_offset[states]
+    total = int(counts.sum())
+    base = np.repeat(offs, counts)
+    ramp = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    value_ids = machine.out_values[base + ramp]
+    return ends.astype(np.int64), value_ids.astype(np.int32)
+
+
+__all__ = [
+    "PallasAcEngine",
+    "StagedStreams",
+    "CompressedMachine",
+    "CapacityError",
+    "MAX_ROWS",
+]

@@ -141,3 +141,27 @@ class TestGroupedEngine:
         eng = self._grouped(m, max_rows=1)
         pres = eng.value_presence(b"xx aa yy cc zz" * 100, len(m.values))
         assert list(pres) == [True, False, True, False, False]
+
+
+class TestDeviceExtraction:
+    """On-device match compaction (match_positions_staged / matches_arrays)."""
+
+    def test_matches_arrays_parity(self):
+        rng = np.random.default_rng(5)
+        needles = ["ab", "abc", "bc", "c", "cab"]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        eng = PallasAcEngine(m, n_streams=256, t_tile=64, interpret=True, unroll=4)
+        hay = bytes(rng.choice([97, 98, 99, 100], size=5000).astype(np.uint8))
+        oracle = ac.all_matches(m, hay)
+        ends, vids = eng.matches_arrays(hay)
+        assert [(int(e), int(v)) for e, v in zip(ends, vids)] == [
+            (mt.pos, mt.value) for mt in oracle
+        ]
+
+    def test_empty_and_no_matches(self):
+        m = ac.build([(b"zzz", 0)])
+        eng = PallasAcEngine(m, n_streams=128, t_tile=32, interpret=True, unroll=4)
+        ends, vids = eng.matches_arrays(b"")
+        assert len(ends) == 0
+        ends, vids = eng.matches_arrays(b"abcabc" * 100)
+        assert len(ends) == 0
