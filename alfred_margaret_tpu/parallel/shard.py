@@ -1,32 +1,38 @@
-"""Multi-chip corpus sharding over a ``jax.sharding.Mesh``.
+"""Multi-chip matching over a ``jax.sharding.Mesh``.
 
 The reference is strictly single-threaded (SURVEY.md §2.4); this module is
-the TPU-native replacement for the parallelism it lacks: the corpus is
-decomposed into overlap-warmed streams (``ops.xla_scan.plan_streams`` — the
-same exact-state-reconstruction argument), the streams are sharded across
-the mesh's ``data`` axis (independent documents / corpus shards) and the
-``seq`` axis (chunks of one long document — sequence parallelism for a DFA
-scan *is* chunk-overlap decomposition, since the state at any position
-depends on at most ``max_needle_bytes`` of history), the automaton tables
-are replicated (they are small after byte-class compression), and per-shard
-match counts are reduced with ``jax.lax.psum`` over ICI.
+the TPU-native replacement for the parallelism it lacks. Three mesh axes:
 
-Determinism: every input position is emitted by exactly one stream
-regardless of mesh shape, so counts and match sets are identical to the
-single-chip result bit-for-bit; position lists are re-based by shard offset.
+* ``data``  — corpus shards (independent documents / stream groups);
+* ``seq``   — chunks of one long document.  Sequence parallelism for a DFA
+  scan *is* chunk-overlap decomposition: the state at any position depends
+  on at most ``max_needle_bytes`` of history, so chunks re-derive exact
+  state from a warm-up overlap (``ops.xla_scan``);
+* ``needle`` — needle-set shards for automata beyond one chip's VMEM table
+  budget: needles are partitioned into per-device-group sub-automata
+  (stacked, padded tables sharded over this axis) and every group scans the
+  (replicated-over-needle) streams.
+
+Counts reduce with ``jax.lax.psum`` over all three axes (ICI); the result
+is bit-identical to the single-chip scan for any mesh shape — every input
+position is emitted by exactly one stream, and needle groups are disjoint.
+
+The per-shard body is the Pallas count kernel on TPU backends and the
+``lax.scan`` gather loop elsewhere (virtual CPU meshes, tests).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..models import ac
 from ..models.ac import AcMachine
 from ..utils import utf8
 from .xla_scan_local import local_scan_counts, local_scan_states
@@ -35,71 +41,210 @@ from ..ops.xla_scan import StreamPlan, build_streams, plan_streams
 
 
 def make_mesh(
-    devices=None, data: Optional[int] = None, seq: int = 1
+    devices=None, data: Optional[int] = None, seq: int = 1, needle: int = 1
 ) -> Mesh:
-    """A (data, seq) mesh over the given (or all) devices."""
+    """A (data, seq, needle) mesh over the given (or all) devices."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data is None:
-        data = n // seq
-    assert data * seq == n, f"mesh {data}x{seq} != {n} devices"
-    dev_array = np.asarray(devices).reshape(data, seq)
-    return Mesh(dev_array, ("data", "seq"))
+        data = n // (seq * needle)
+    assert data * seq * needle == n, f"mesh {data}x{seq}x{needle} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, seq, needle)
+    return Mesh(dev_array, ("data", "seq", "needle"))
+
+
+def _balanced_groups(machine: AcMachine, n_groups: int) -> List[List[int]]:
+    """Split value ids into exactly ``n_groups`` groups, duplicates together,
+    balanced by total needle bytes."""
+    sizes = [0] * n_groups
+    groups: List[List[int]] = [[] for _ in range(n_groups)]
+    first_group: dict = {}
+    for vid, needle in enumerate(machine.needles):
+        g = first_group.get(needle)
+        if g is None:
+            g = int(np.argmin(sizes))
+            first_group[needle] = g
+            sizes[g] += len(needle) + 1
+        groups[g].append(vid)
+    return groups
 
 
 class DistributedAcEngine:
-    """Data-parallel AC matching over a device mesh.
+    """Mesh-parallel AC match counting.
 
-    Streams are laid out exactly as in the single-device engines, then the
-    stream axis is sharded over mesh axes (data, seq); the jitted step psums
-    per-shard counts so every device returns the global count.
+    Streams are laid out exactly as in the single-device engines, the stream
+    axis is sharded over (data, seq), needle groups over (needle), and the
+    jitted step psums per-shard counts so every device returns the global
+    count.  ``inner`` selects the per-shard kernel: "pallas" (TPU), "xla"
+    (anywhere), or "auto".
     """
 
-    def __init__(self, machine: AcMachine, mesh: Mesh):
+    def __init__(self, machine: AcMachine, mesh: Mesh, inner: str = "auto"):
         self.machine = machine
         self.mesh = mesh
-        self.n_devices = mesh.devices.size
+        axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        self.n_stream_shards = axis_sizes.get("data", 1) * axis_sizes.get("seq", 1)
+        self.n_needle_groups = axis_sizes.get("needle", 1)
+        self._stream_axes = tuple(
+            a for a in ("data", "seq") if a in mesh.axis_names
+        )
+        self._all_axes = tuple(
+            a for a in ("data", "seq", "needle") if a in mesh.axis_names
+        )
+        if inner == "auto":
+            inner = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        self.inner = inner
         self.overlap = max(0, machine.max_needle_bytes - 1)
-        self.delta_flat = jnp.asarray(machine.delta.reshape(-1), dtype=jnp.int32)
-        self.match_count = jnp.asarray(machine.match_count, dtype=jnp.int32)
-        self._count_step = self._build_count_step()
 
-    def _build_count_step(self):
-        mesh = self.mesh
+        # Needle groups (G == 1 means the full machine).
+        if self.n_needle_groups > 1:
+            vid_groups = _balanced_groups(machine, self.n_needle_groups)
+            self.sub_machines = [
+                ac.build([(machine.needles[v], machine.values[v]) for v in vids])
+                for vids in vid_groups
+            ]
+        else:
+            self.sub_machines = [machine]
 
-        def per_shard(delta_flat, mc, streams, warm, vend):
-            # streams: [T, S_local] on each device
-            counts = local_scan_counts(delta_flat, mc, streams, warm, vend)
-            local_total = counts.sum()
-            return jax.lax.psum(
-                jax.lax.psum(local_total, "seq"), "data"
+        if self.inner == "pallas":
+            from ..ops.pallas_scan import CompressedMachine
+
+            comps = [CompressedMachine.from_machine(sm) for sm in self.sub_machines]
+            rows_max = max(c.rows for c in comps)
+            cms = np.stack(
+                [np.resize(c.classmap, 256).reshape(2, 128) for c in comps]
+            )  # [G, 2, 128]
+            tabs = np.zeros((len(comps), rows_max, 128), dtype=np.int32)
+            for g, c in enumerate(comps):
+                tabs[g, : c.rows] = c.packed.reshape(c.rows, 128)
+            self._cms = jnp.asarray(cms.astype(np.int32))
+            self._tabs = jnp.asarray(tabs)
+            self._rows = rows_max
+        else:
+            n_states_max = max(sm.n_states for sm in self.sub_machines)
+            deltas = np.zeros(
+                (len(self.sub_machines), n_states_max * 256), dtype=np.int32
             )
+            mcs = np.zeros((len(self.sub_machines), n_states_max), dtype=np.int32)
+            for g, sm in enumerate(self.sub_machines):
+                deltas[g, : sm.n_states * 256] = sm.delta.reshape(-1)
+                mcs[g, : sm.n_states] = sm.match_count
+            self._deltas = jnp.asarray(deltas)
+            self._mcs = jnp.asarray(mcs)
+        self._count_step = None
+
+    # -- jitted step -------------------------------------------------------
+
+    def _build_count_step(self, T: int, S: int):
+        mesh = self.mesh
+        stream_axes = self._stream_axes
+        all_axes = self._all_axes
+        S_local = S // self.n_stream_shards
+
+        if self.inner == "pallas":
+            from ..ops import pallas_scan as ps
+
+            R_local = S_local // 128
+            t_tile = 128 if T % 128 == 0 else T
+            n_tiles = T // t_tile
+            unroll = 8 if self._rows <= 8 else (4 if self._rows <= 16 else 2)
+            while t_tile % unroll:
+                unroll //= 2
+            kernel = ps._make_count_kernel(
+                t_tile, R_local, self._rows, n_tiles, unroll, reps=1
+            )
+
+            def local_counts(cm, tab, streams, warm, vend):
+                # cm [1,2,128], tab [1,rows,128] (this group's shard);
+                # streams [T, S_local]; warm/vend [S_local]
+                from jax.experimental import pallas as pl
+                from jax.experimental.pallas import tpu as pltpu
+
+                bscal = jnp.stack([warm.max(), vend.min()]).astype(jnp.int32)
+                counts = pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (self._rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                        ),
+                        pl.BlockSpec(
+                            (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                        ),
+                        pl.BlockSpec(
+                            (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                        ),
+                        pl.BlockSpec(
+                            (t_tile, R_local, 128),
+                            lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    ),
+                    out_shape=jax.ShapeDtypeStruct((R_local, 128), jnp.int32),
+                    scratch_shapes=[
+                        pltpu.VMEM((R_local, 128), jnp.int32),
+                        pltpu.VMEM((R_local, 128), jnp.int32),
+                    ],
+                )(
+                    bscal,
+                    cm[0],
+                    tab[0],
+                    warm.reshape(R_local, 128),
+                    vend.reshape(R_local, 128),
+                    streams.reshape(T, R_local, 128),
+                )
+                return counts.astype(jnp.int64).sum()
+
+            def per_shard(cm, tab, streams, warm, vend):
+                local = local_counts(cm, tab, streams, warm, vend)
+                return jax.lax.psum(local, all_axes)
+
+            table_args = (self._cms, self._tabs)
+            table_specs = (P("needle"), P("needle"))
+        else:
+
+            def per_shard(delta, mc, streams, warm, vend):
+                counts = local_scan_counts(delta[0], mc[0], streams, warm, vend)
+                return jax.lax.psum(counts.astype(jnp.int64).sum(), all_axes)
+
+            table_args = (self._deltas, self._mcs)
+            table_specs = (P("needle"), P("needle"))
 
         shard_fn = jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(), P(), P(None, ("data", "seq")), P(("data", "seq")), P(("data", "seq"))),
+            in_specs=table_specs
+            + (P(None, stream_axes), P(stream_axes), P(stream_axes)),
             out_specs=P(),
+            # pallas_call's out_shape carries no varying-axes metadata.
+            check_vma=False,
         )
-        return jax.jit(shard_fn)
+        return jax.jit(shard_fn), table_args
+
+    # -- layout ------------------------------------------------------------
 
     def _layout(self, data: np.ndarray):
-        """Streams padded so the stream count divides the device count."""
+        """Streams padded so each (data, seq) shard gets whole lane groups."""
+        quantum = self.n_stream_shards * (128 if self.inner == "pallas" else 8)
         plan = plan_streams(
             len(data),
             self.overlap,
             n_streams=None,
-            max_streams=max(1024, 8 * self.n_devices),
+            max_streams=max(32768 if self.inner == "pallas" else 1024, quantum),
         )
-        s = plan.n_streams
-        s = -(-s // self.n_devices) * self.n_devices
+        s = max(quantum, -(-plan.n_streams // quantum) * quantum)
+        emit = -(-len(data) // s) if len(data) else 1
+        t = emit + self.overlap
+        if self.inner == "pallas":
+            t = -(-t // 128) * 128  # time padded to the kernel tile
         plan = StreamPlan(
-            n=plan.n,
-            n_streams=s,
-            emit_len=-(-plan.n // s),
-            overlap=plan.overlap,
-            time_len=-(-plan.n // s) + plan.overlap,
+            n=len(data), n_streams=s, emit_len=emit, overlap=self.overlap, time_len=t
         )
         return plan, build_streams(data, plan)
 
@@ -108,15 +253,25 @@ class DistributedAcEngine:
         if len(data) == 0:
             return 0
         plan, (streams_ts, warm, vend) = self._layout(data)
-        spec_streams = NamedSharding(self.mesh, P(None, ("data", "seq")))
-        spec_vec = NamedSharding(self.mesh, P(("data", "seq")))
+        step, table_args = self._get_step(plan.time_len, plan.n_streams)
+        spec_streams = NamedSharding(self.mesh, P(None, self._stream_axes))
+        spec_vec = NamedSharding(self.mesh, P(self._stream_axes))
         streams_d = jax.device_put(jnp.asarray(streams_ts), spec_streams)
         warm_d = jax.device_put(jnp.asarray(warm), spec_vec)
         vend_d = jax.device_put(jnp.asarray(vend), spec_vec)
-        total = self._count_step(
-            self.delta_flat, self.match_count, streams_d, warm_d, vend_d
-        )
+        total = step(*table_args, streams_d, warm_d, vend_d)
         return int(np.asarray(total))
+
+    def _get_step(self, T: int, S: int):
+        key = (T, S)
+        if self._count_step is None:
+            self._count_step = {}
+        if key not in self._count_step:
+            self._count_step[key] = self._build_count_step(T, S)
+        return self._count_step[key]
+
+    def contains_any(self, text: utf8.TextLike) -> bool:
+        return self.count(text) > 0
 
 
 __all__ = ["DistributedAcEngine", "make_mesh"]

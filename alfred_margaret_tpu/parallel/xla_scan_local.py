@@ -17,9 +17,10 @@ def local_scan_counts(delta_flat, mc, streams_ts, warm_start, valid_end):
         counts = counts + jnp.where(valid, c, 0)
         return (states, counts, t + 1), None
 
-    # Derive the carry init from the (possibly shard_map-varying) input so
-    # its varying-axes type matches the loop output under shard_map.
-    zeros = (streams_ts[0] * 0).astype(jnp.int32)
+    # Derive the carry init from the (possibly shard_map-varying) inputs so
+    # its varying-axes type matches the loop output under shard_map (the
+    # table arguments vary over the needle axis, the streams over data/seq).
+    zeros = (streams_ts[0] * 0 + delta_flat[0] * 0).astype(jnp.int32)
     init = (zeros, zeros, jnp.int32(0))
     (_, counts, _), _ = jax.lax.scan(step, init, streams_ts)
     return counts

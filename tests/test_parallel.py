@@ -41,3 +41,18 @@ def test_empty_and_small(machine):
     engine = DistributedAcEngine(machine, mesh)
     assert engine.count(b"") == 0
     assert engine.count(b"tshirt") == 1
+
+
+@pytest.mark.parametrize("data,seq,needle", [(4, 1, 2), (2, 2, 2), (1, 2, 4), (2, 1, 4)])
+def test_needle_axis_agrees(data, seq, needle):
+    rng = np.random.default_rng(9)
+    needles = [
+        rng.integers(97, 105, size=int(rng.integers(2, 6))).astype(np.uint8).tobytes()
+        for _ in range(30)
+    ] + [b"dup", b"dup"]  # duplicates must stay in one group
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    hay = rng.integers(97, 105, size=20000).astype(np.uint8).tobytes() + b"dup dup"
+    mesh = make_mesh(jax.devices()[: data * seq * needle], data=data, seq=seq, needle=needle)
+    engine = DistributedAcEngine(m, mesh)
+    assert engine.n_needle_groups == needle
+    assert engine.count(hay) == ac.count_matches(m, hay)
