@@ -1,0 +1,89 @@
+"""Weak-scaling measurement over a device mesh.
+
+Usage (virtual CPU mesh — multi-chip TPU hardware scales the same shard_map
+program over real ICI):
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+        python -m alfred_margaret_tpu.bench.scaling
+
+Weak scaling: corpus bytes grow with the device count (fixed bytes per
+device); perfect scaling keeps wall time flat.  The harness prints one JSON
+line per mesh size with bytes/s and efficiency vs the 1-device run.
+
+CAVEAT for virtual meshes: the 8 "devices" share one host's cores, so the
+efficiency numbers reflect host contention, not ICI behaviour — the run
+validates the scaling *protocol* (identical counts at every size, one
+shard_map program) rather than hardware scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    import os
+
+    import jax
+
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+    # explicitly so virtual-CPU mesh runs work as documented.
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..models import ac
+    from ..parallel import DistributedAcEngine, make_mesh
+    from .dataformat import synth_corpus
+
+    argv = sys.argv[1:] if argv is None else argv
+    mb_per_device = int(argv[0]) if argv else 8
+
+    needles = ["tshirt", "shirts", "shorts"]
+    machine = ac.build([(n, i) for i, n in enumerate(needles)])
+
+    devices = jax.devices()
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= len(devices)]
+    base_bps = None
+    for n_dev in sizes:
+        corpus = synth_corpus(
+            needles, mb_per_device * n_dev * 1024 * 1024, hit_fraction=0.01, seed=3
+        )
+        data = np.frombuffer(corpus, dtype=np.uint8)
+        mesh = make_mesh(devices[:n_dev], data=n_dev, seq=1)
+        eng = DistributedAcEngine(machine, mesh)
+        expected = None
+        best = float("inf")
+        for i in range(4):
+            t0 = time.perf_counter()
+            got = eng.count(data)
+            dt = time.perf_counter() - t0
+            if i == 0:
+                expected = got  # first call includes compile
+            else:
+                assert got == expected
+                best = min(best, dt)
+        bps = len(data) / best
+        if base_bps is None:
+            base_bps = bps
+        print(
+            json.dumps(
+                {
+                    "devices": n_dev,
+                    "corpus_mb": mb_per_device * n_dev,
+                    "count": expected,
+                    "seconds": round(best, 4),
+                    "bytes_per_sec": round(bps, 1),
+                    "weak_scaling_efficiency": round(bps / (base_bps * n_dev), 4),
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -29,7 +29,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from .models import ac
-from .utils import utf8
+from .utils import config, utf8
 from .utils.case import CASE_SENSITIVE, IGNORE_CASE, CaseSensitivity
 
 #: Inputs smaller than this run on the scalar python path under "auto"
@@ -60,10 +60,13 @@ class MatchEngine:
     """Executes a machine over haystacks with a selectable backend."""
 
     def __init__(self, machine: ac.AcMachine, engine: str = "auto"):
+        if engine == "auto":
+            engine = config.DEFAULT.engine  # AMT_ENGINE override, still "auto" by default
         if engine not in _VALID_ENGINES:
             raise ValueError(f"unknown engine {engine!r}; expected one of {_VALID_ENGINES}")
         self.machine = machine
         self.engine = engine
+        self._validate = config.DEFAULT.validate
         self._xla = None
         self._pallas = None
         self._cpp = None
@@ -137,8 +140,16 @@ class MatchEngine:
         if backend == "cpp":
             return self._cpp_engine().count(data)
         if backend == "pallas":
-            return self._pallas_engine().count(data)
-        return self._xla_engine().count(data)
+            got = self._pallas_engine().count(data)
+        else:
+            got = self._xla_engine().count(data)
+        if self._validate:
+            # AMT_VALIDATE: cross-check device results against the native
+            # engine (debug analogue of the reference's bounds-checked era,
+            # Automaton.hs:382-392).
+            ref = self._cpp_engine().count(data)
+            assert got == ref, f"device count {got} != native {ref}"
+        return got
 
     def contains_any(self, text: utf8.TextLike, case: CaseSensitivity) -> bool:
         data, _ = self._prep(text, case)

@@ -126,6 +126,59 @@ class AcMachine:
         )
 
 
+def save_npz(machine: AcMachine, path: str) -> None:
+    """Persist the packed dense tables for fast cold start (SURVEY.md §5.4:
+    the reference serializes by needle list and rebuilds on parse — we keep
+    that canonical form in Searcher JSON, and additionally offer the packed
+    artifact).  Values must be needle byte strings or ints to round-trip."""
+    np.savez_compressed(
+        path,
+        delta=machine.delta,
+        out_offset=machine.out_offset,
+        out_values=machine.out_values,
+        match_count=machine.match_count,
+        needles=np.array([n.decode("latin-1") for n in machine.needles]),
+        values=np.array([repr(v) for v in machine.values]),
+        max_needle_bytes=np.int64(machine.max_needle_bytes),
+    )
+
+
+def load_npz(path: str) -> AcMachine:
+    """Load a machine persisted by :func:`save_npz` (values via repr/eval of
+    plain literals)."""
+    import ast
+
+    z = np.load(path, allow_pickle=False)
+    return AcMachine(
+        delta=z["delta"],
+        out_offset=z["out_offset"],
+        out_values=z["out_values"],
+        match_count=z["match_count"],
+        needles=[n.encode("latin-1") for n in z["needles"].tolist()],
+        values=[ast.literal_eval(v) for v in z["values"].tolist()],
+        max_needle_bytes=int(z["max_needle_bytes"]),
+    )
+
+
+def validate_machine(machine: AcMachine) -> None:
+    """Structural invariants check (the debug analogue of the reference's
+    bounds-checked ``at``/``uAt`` era, ``Automaton.hs:382-392``): every
+    transition in range, CSR arrays consistent, match counts == CSR widths.
+    Raises AssertionError on violation."""
+    n = machine.n_states
+    d = machine.delta
+    assert d.shape == (n, 256), d.shape
+    assert d.min() >= 0 and d.max() < n, "transition out of range"
+    off = machine.out_offset
+    assert len(off) == n + 1 and off[0] == 0
+    assert (np.diff(off) >= 0).all(), "CSR offsets not monotone"
+    assert off[-1] == len(machine.out_values)
+    assert (machine.match_count == np.diff(off)).all(), "count/CSR mismatch"
+    if len(machine.out_values):
+        assert machine.out_values.min() >= 0
+        assert machine.out_values.max() < len(machine.values)
+
+
 def build(needles_with_values: Iterable[Tuple[utf8.TextLike, Any]]) -> AcMachine:
     """Construct the automaton for (needle, value) pairs (``Automaton.hs:176-200``).
 
@@ -374,6 +427,9 @@ def needle_casings(needle: str) -> List[str]:
 
 
 __all__ = [
+    "save_npz",
+    "load_npz",
+    "validate_machine",
     "AcMachine",
     "Match",
     "Step",

@@ -180,3 +180,39 @@ class TestDotDump:
         assert dot.startswith("digraph {")
         assert "doublecircle" in dot
         assert "style = dashed" in dot
+
+
+class TestPersistence:
+    def test_npz_roundtrip(self, tmp_path):
+        from alfred_margaret_tpu.models.ac import build, load_npz, save_npz, validate_machine
+
+        m = build([("tshirt", 0), ("shirts", 1), ("İst", 2)])
+        validate_machine(m)
+        path = str(tmp_path / "machine.npz")
+        save_npz(m, path)
+        m2 = load_npz(path)
+        validate_machine(m2)
+        assert (m2.delta == m.delta).all()
+        assert m2.needles == m.needles
+        assert m2.values == m.values
+        hay = "short tshirts İst"
+        from alfred_margaret_tpu.models import ac as ac_mod
+
+        assert [
+            (mt.pos, mt.value) for mt in ac_mod.all_matches(m2, hay)
+        ] == [(mt.pos, mt.value) for mt in ac_mod.all_matches(m, hay)]
+
+    def test_validate_catches_corruption(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from alfred_margaret_tpu.models.ac import build, validate_machine
+
+        m = build([("ab", 0)])
+        bad = m.delta.copy()
+        bad[0, 0] = 10_000
+        import dataclasses
+
+        m_bad = dataclasses.replace(m, delta=bad)
+        with _pytest.raises(AssertionError):
+            validate_machine(m_bad)
