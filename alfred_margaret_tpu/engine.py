@@ -36,6 +36,10 @@ from .utils.case import CASE_SENSITIVE, IGNORE_CASE, CaseSensitivity
 #: (device dispatch overhead dominates below it).
 AUTO_PYTHON_THRESHOLD = 4096
 
+#: Under "auto" on TPU hosts, inputs below this size stay on the host C++
+#: engine (device launch + staging overhead exceeds the scan time).
+AUTO_DEVICE_THRESHOLD = 1 << 20
+
 _VALID_ENGINES = ("auto", "python", "xla", "pallas", "cpp")
 
 
@@ -107,6 +111,22 @@ class MatchEngine:
                 self._pallas = GroupedPallasAcEngine(self.machine)
         return self._pallas
 
+    #: Under "auto", automata needing more than this many needle-group
+    #: passes run on the multithreaded C++ engine instead — the per-pass
+    #: Pallas rate divided by the group count drops below host speed there.
+    AUTO_MAX_GROUPS = 32
+
+    def _n_pallas_groups(self) -> int:
+        if not hasattr(self, "_pallas_groups"):
+            from .ops.grouped import partition_needles
+            from .ops.pallas_scan import CapacityError
+
+            try:
+                self._pallas_groups = len(partition_needles(self.machine))
+            except CapacityError:
+                self._pallas_groups = 1 << 30
+        return self._pallas_groups
+
     def _pick(self, n_bytes: int) -> str:
         if self.engine != "auto":
             return self.engine
@@ -116,8 +136,20 @@ class MatchEngine:
 
         if jax.default_backend() in ("tpu", "axon"):
             # The Pallas kernel dominates the XLA scan on real TPU hardware
-            # (~76 GB/s vs ~0.4 GB/s measured; experiments/tpu_xla_bigtable.py).
-            return "pallas"
+            # (~95 GB/s vs ~0.4 GB/s measured; experiments/tpu_xla_bigtable.py),
+            # but (a) per-launch overhead makes it a loss below ~1 MiB, and
+            # (b) its rate divides by the needle-group pass count for huge
+            # automata — in both regimes the host C++ engine wins.
+            if (
+                n_bytes >= AUTO_DEVICE_THRESHOLD
+                and self._n_pallas_groups() <= self.AUTO_MAX_GROUPS
+            ):
+                return "pallas"
+            try:
+                self._cpp_engine()
+                return "cpp"
+            except Exception:
+                return "pallas" if self._n_pallas_groups() < (1 << 30) else "xla"
         return "xla"
 
     # -- prep --------------------------------------------------------------
