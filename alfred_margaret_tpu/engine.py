@@ -37,8 +37,10 @@ from .utils.case import CASE_SENSITIVE, IGNORE_CASE, CaseSensitivity
 AUTO_PYTHON_THRESHOLD = 4096
 
 #: Under "auto" on TPU hosts, inputs below this size stay on the host C++
-#: engine (device launch + staging overhead exceeds the scan time).
-AUTO_DEVICE_THRESHOLD = 1 << 20
+#: engine (device launch + staging overhead exceeds the scan time; the
+#: break-even vs the ~0.4 GB/s host engine sits around 10 MiB when launches
+#: cost tens of ms).
+AUTO_DEVICE_THRESHOLD = 8 << 20
 
 _VALID_ENGINES = ("auto", "python", "xla", "pallas", "cpp")
 
