@@ -46,6 +46,24 @@ _VALID_ENGINES = ("auto", "python", "xla", "pallas", "cpp")
 
 
 @dataclass
+class StagedHaystack:
+    """A haystack prepared for repeated scans (see ``MatchEngine.stage``).
+
+    Pass it anywhere a haystack is accepted; operations reuse the lowered
+    bytes and (on device backends) the staged device streams instead of
+    re-transferring per call.
+    """
+
+    case: CaseSensitivity
+    data: np.ndarray  # scan bytes (lowered under IGNORE_CASE)
+    lowered: Optional[utf8.LoweredText]
+    device: object = None  # backend staging handle (StagedStreams)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+
+@dataclass
 class MatchSet:
     """All matches of one scan, in emission order.
 
@@ -158,10 +176,31 @@ class MatchEngine:
 
     def _prep(self, text: utf8.TextLike, case: CaseSensitivity):
         """Return (scan_bytes, lowered or None)."""
+        if isinstance(text, StagedHaystack):
+            if text.case is not case:
+                raise ValueError("staged haystack was prepared for a different case mode")
+            return text.data, text.lowered
         if case is IGNORE_CASE:
             lt = utf8.lower_transform(text)
             return lt.lowered, lt
         return utf8.to_u8(text), None
+
+    def stage(self, text: utf8.TextLike, case: CaseSensitivity) -> "StagedHaystack":
+        """Prepare a haystack once for repeated scans: case lowering and —
+        on device backends — the HBM-resident stream layout are computed
+        here and reused by every subsequent operation.
+
+        TPU-native extension (the reference re-scans `Text` values; a
+        device framework wants the host->device staging amortized)."""
+        data, lt = self._prep(text, case)
+        staged = StagedHaystack(case=case, data=data, lowered=lt)
+        if self._pick(len(data)) == "pallas":
+            eng = self._pallas_engine()
+            if hasattr(eng, "stage"):
+                staged.device = eng.stage(data)
+            elif hasattr(eng, "_stage"):  # grouped engine
+                staged.device = eng._stage(data)
+        return staged
 
     # -- operations --------------------------------------------------------
 
@@ -174,7 +213,14 @@ class MatchEngine:
         if backend == "cpp":
             return self._cpp_engine().count(data)
         if backend == "pallas":
-            got = self._pallas_engine().count(data)
+            eng = self._pallas_engine()
+            st = text.device if isinstance(text, StagedHaystack) else None
+            if st is not None and hasattr(eng, "count_staged"):
+                got = eng.count_staged(st)
+            elif st is not None and hasattr(eng, "engines"):  # grouped
+                got = sum(e.count_staged(st) for e in eng.engines)
+            else:
+                got = eng.count(data)
         else:
             got = self._xla_engine().count(data)
         if self._validate:
@@ -207,7 +253,13 @@ class MatchEngine:
         eng = None
         if backend == "pallas":
             eng = self._pallas_engine()
-            if hasattr(eng, "matches_arrays"):  # grouped multi-pass engine
+            st = text.device if isinstance(text, StagedHaystack) else None
+            if st is not None and hasattr(eng, "matches_arrays_staged"):
+                ends, value_ids = eng.matches_arrays_staged(st)
+                if lt is not None and len(ends):
+                    ends = lt.map_ends_to_raw(ends)
+                return MatchSet(ends=ends, value_ids=value_ids, lowered=lt)
+            if hasattr(eng, "matches_arrays"):  # device extraction / grouped
                 ends, value_ids = eng.matches_arrays(data)
                 if lt is not None and len(ends):
                     ends = lt.map_ends_to_raw(ends)

@@ -144,6 +144,11 @@ class Searcher:
 
     # -- matching ----------------------------------------------------------
 
+    def stage(self, haystack: utf8.TextLike):
+        """Prepare a haystack for repeated scans (lowering + device staging
+        done once); pass the result to any matching operation."""
+        return self._engine.stage(haystack, self._case)
+
     def contains_any(self, haystack: utf8.TextLike) -> bool:
         """True iff any needle occurs (``containsAny``, ``Searcher.hs:156-164``)."""
         return self._engine.contains_any(haystack, self._case)

@@ -121,3 +121,31 @@ class TestEngineParity:
             assert py.contains_any(haystack) == xla.contains_any(haystack)
             assert py.count_matches(haystack) == xla.count_matches(haystack)
             assert py.all_matches(haystack) == xla.all_matches(haystack)
+
+
+class TestStagedHaystack:
+    def test_staged_matches_all_ops(self):
+        from alfred_margaret_tpu.searcher import Searcher
+        from alfred_margaret_tpu.utils.case import CASE_SENSITIVE, IGNORE_CASE
+
+        s = Searcher.build_needle_id_searcher(CASE_SENSITIVE, ["ab", "bc", "c"])
+        hay = "xabcabx" * 2000
+        st = s.stage(hay)
+        assert s.count_matches(st) == s.count_matches(hay)
+        assert s.contains_any(st) == s.contains_any(hay)
+        assert s.contains_all(st) == s.contains_all(hay)
+        assert [(m.pos, m.value) for m in s.all_matches(st)] == [
+            (m.pos, m.value) for m in s.all_matches(hay)
+        ]
+
+    def test_staged_case_mismatch_raises(self):
+        import pytest as _pytest
+
+        from alfred_margaret_tpu.searcher import Searcher
+        from alfred_margaret_tpu.utils.case import CASE_SENSITIVE, IGNORE_CASE
+
+        s_cs = Searcher.build(CASE_SENSITIVE, ["ab"])
+        s_ci = Searcher.build(IGNORE_CASE, ["ab"])
+        st = s_ci.stage("ABab" * 2000)
+        with _pytest.raises(ValueError):
+            s_cs.count_matches(st)
