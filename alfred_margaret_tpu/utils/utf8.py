@@ -115,6 +115,23 @@ def unlower_code_point(c: str) -> str:
     return "".join(map(chr, ups))
 
 
+def print_unlowerings(out=None) -> None:
+    """Debug dump of all non-trivial unlowerings (``Unlower.hs:61-87``):
+    every lowercase code point mapped to by more than one code point, or by
+    one that is not itself.  The reference's printer surfaced the specials
+    (i -> I/İ, k -> K/K Kelvin, ß -> ẞ, å -> Å/Å angstrom, ǆǉǌǳ digraphs,
+    θ/ω variants); ours lists the same table."""
+    import sys
+
+    out = out or sys.stdout
+    m = _unlower_map()
+    for low in sorted(m):
+        ups = m[low]
+        if ups != [low]:
+            chars = " ".join(f"U+{cp:04X} {chr(cp)}" for cp in ups)
+            out.write(f"U+{low:04X} {chr(low)} <- {chars}\n")
+
+
 def is_case_invariant(text: str) -> bool:
     """True iff every cp satisfies unlower(lower(c)) == [c] (``Utf8.hs:169-171``)."""
     return all(unlower_code_point(lower_code_point(c)) == c for c in text)

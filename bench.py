@@ -5,10 +5,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Config: the BASELINE.json config-1 needle set (tshirt/shirts/shorts,
 CaseSensitive) over a synthetic corpus with ~1% needle hits.  ``value`` is
 chip-side Pallas-kernel throughput in bytes/s, measured as the *slope*
-between a full-size and a half-size device-resident scan (min over
-ROUNDS each, result materialized every run) so fixed per-call overhead —
-which on a tunneled device includes a ~30 ms host round-trip — cancels
-out.  ``vs_baseline`` is the speedup over the single-core native C++ DFA
+between a low-rep and a high-rep device-resident scan (the reps grid
+re-reads the resident streams inside one launch; min over ROUNDS, result
+materialized every run) so fixed per-call overhead — which on a tunneled
+device includes a ~30 ms host round-trip — cancels out.  ``vs_baseline`` is the speedup over the single-core native C++ DFA
 engine on the same data on this host — the stand-in for the reference
 implementation (same algorithm class, measured live so the ratio tracks
 real hardware).
@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 N_MB = int(os.environ.get("AM_BENCH_MB", "128"))
-ROUNDS = int(os.environ.get("AM_BENCH_ROUNDS", "5"))
+ROUNDS = int(os.environ.get("AM_BENCH_ROUNDS", "7"))
 NEEDLES = ["tshirt", "shirts", "shorts"]
 
 _T0 = time.perf_counter()
@@ -93,7 +93,7 @@ def main() -> int:
         from alfred_margaret_tpu.ops.pallas_scan import PallasAcEngine
 
         eng = PallasAcEngine(machine)
-        r_lo, r_hi = 2, 18
+        r_lo, r_hi = 2, 34
         t_lo, c_lo = _time_device_scan(eng, data, r_lo)
         t_hi, c_hi = _time_device_scan(eng, data, r_hi)
         assert c_lo * r_hi == c_hi * r_lo, f"rep-count mismatch {c_lo}x{r_hi} != {c_hi}x{r_lo}"
