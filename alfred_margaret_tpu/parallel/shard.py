@@ -273,5 +273,66 @@ class DistributedAcEngine:
     def contains_any(self, text: utf8.TextLike) -> bool:
         return self.count(text) > 0
 
+    # -- positions ---------------------------------------------------------
+
+    def matches_arrays(self, text: utf8.TextLike):
+        """(ends, value_ids) identical to the single-chip scan for any
+        (data, seq) mesh shape: per-shard states are computed under
+        shard_map (stream shards re-derive exact state from their warm-up
+        overlap) and positions re-base by stream offset during assembly.
+
+        Needle-sharded meshes currently answer counts only."""
+        if self.n_needle_groups > 1:
+            raise NotImplementedError("positions on needle-sharded meshes")
+        data = utf8.to_u8(text)
+        if len(data) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int32)
+        plan, (streams_ts, warm, vend) = self._layout(data)
+        key = ("states", streams_ts.shape)
+        if self._count_step is None:
+            self._count_step = {}
+        if key not in self._count_step:
+            mesh, stream_axes = self.mesh, self._stream_axes
+            if self.inner == "pallas":
+                deltas = jnp.asarray(
+                    self.machine.delta.reshape(1, -1).astype(np.int32)
+                )
+            else:
+                deltas = self._deltas
+
+            def per_shard(delta, streams):
+                return local_scan_states(delta[0], streams)
+
+            fn = jax.jit(
+                jax.shard_map(
+                    per_shard,
+                    mesh=mesh,
+                    in_specs=(P("needle"), P(None, stream_axes)),
+                    out_specs=P(None, stream_axes),
+                    # The table arg is nominally needle-sharded (size 1 here);
+                    # replication of the output over it can't be inferred.
+                    check_vma=False,
+                )
+            )
+            self._count_step[key] = (fn, deltas)
+        fn, deltas = self._count_step[key]
+        spec_streams = NamedSharding(self.mesh, P(None, self._stream_axes))
+        streams_d = jax.device_put(jnp.asarray(streams_ts), spec_streams)
+        states_ts = np.asarray(fn(deltas, streams_d))
+        # Assemble per-position states in corpus order (emission regions).
+        n, S, L = plan.n, plan.n_streams, plan.emit_len
+        flat = np.empty(n, dtype=np.int32)
+        for i in range(S):
+            emit_begin = i * L
+            if emit_begin >= n:
+                break
+            emit_end = min(emit_begin + L, n)
+            flat[emit_begin:emit_end] = states_ts[
+                warm[i] : warm[i] + (emit_end - emit_begin), i
+            ]
+        from ..ops.xla_scan import extract_matches
+
+        return extract_matches(self.machine, flat)
+
 
 __all__ = ["DistributedAcEngine", "make_mesh"]

@@ -32,6 +32,8 @@ def local_scan_states(delta_flat, streams_ts):
         states = jnp.take(delta_flat, states * 256 + byte_row.astype(jnp.int32))
         return states, states
 
-    zeros = (streams_ts[0] * 0).astype(jnp.int32)
+    # Carry init varies over the same mesh axes as both inputs (see
+    # local_scan_counts).
+    zeros = (streams_ts[0] * 0 + delta_flat[0] * 0).astype(jnp.int32)
     _, states_ts = jax.lax.scan(step, zeros, streams_ts)
     return states_ts

@@ -56,3 +56,15 @@ def test_needle_axis_agrees(data, seq, needle):
     engine = DistributedAcEngine(m, mesh)
     assert engine.n_needle_groups == needle
     assert engine.count(hay) == ac.count_matches(m, hay)
+
+
+@pytest.mark.parametrize("data,seq", [(8, 1), (2, 4)])
+def test_positions_identical_across_mesh(machine, data, seq):
+    # SURVEY.md §4: position sets must be identical regardless of sharding.
+    mesh = make_mesh(jax.devices()[:8], data=data, seq=seq)
+    engine = DistributedAcEngine(machine, mesh)
+    ends, vids = engine.matches_arrays(CORPUS)
+    oracle = ac.all_matches(machine, CORPUS)
+    assert [(int(e), int(v)) for e, v in zip(ends, vids)] == [
+        (m.pos, m.value) for m in oracle
+    ]
