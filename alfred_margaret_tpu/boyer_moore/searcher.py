@@ -9,7 +9,7 @@ the match-existence semantics are identical; empty needles never match.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable, List, Optional, Tuple
+from typing import Any, Iterable, List, Tuple
 
 from ..utils import utf8
 from ..utils.case import CASE_SENSITIVE

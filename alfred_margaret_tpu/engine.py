@@ -24,7 +24,7 @@ keeps the per-byte device loop a pure gather.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

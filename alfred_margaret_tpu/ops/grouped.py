@@ -23,7 +23,7 @@ byte-class count (distinct bytes + 1), so every group is guaranteed to fit.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

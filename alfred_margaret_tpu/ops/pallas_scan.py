@@ -32,7 +32,6 @@ automata fall back to other engines (see ``engine.MatchEngine``).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax
@@ -44,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.ac import AcMachine
 from ..utils import utf8
-from .xla_scan import StreamPlan, build_streams, plan_streams, stage_streams_device
+from .xla_scan import StreamPlan, build_streams, stage_streams_device
 
 #: Maximum flat-table rows (of 128 int32 entries) the kernel will hold and
 #: scan with its select chain.  Above ~48 rows the Mosaic compiler on this

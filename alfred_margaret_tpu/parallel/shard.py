@@ -23,9 +23,7 @@ The per-shard body is the Pallas count kernel on TPU backends and the
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import numpy as np
 from .models import ac
 from .searcher import Searcher
 from .utils import utf8
-from .utils.case import CASE_SENSITIVE, IGNORE_CASE, CaseSensitivity
+from .utils.case import IGNORE_CASE, CaseSensitivity
 
 MAX_BOUND = 2**63 - 1
 

@@ -17,8 +17,8 @@ environment (prefix ``AMT_``):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional
 
 
 def _env_int(name: str, default: Optional[int]) -> Optional[int]:

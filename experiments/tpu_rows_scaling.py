@@ -42,14 +42,30 @@ def build(rows):
             jax.lax.broadcast_in_dim(tab_ref[:][r], (R, 128), (1,)) for r in range(rows)
         ]
 
+        import os as _os
+
+        tree = bool(_os.environ.get("AM_TREE"))
+
         def lookup(idx):
             lo = idx & 127
             hi = idx >> 7
-            out = None
-            for r, row in enumerate(tab_rows):
-                cand = jnp.take_along_axis(row, lo, axis=1)
-                out = cand if out is None else jnp.where(hi == r, cand, out)
-            return out
+            if not tree:
+                out = None
+                for r, row in enumerate(tab_rows):
+                    cand = jnp.take_along_axis(row, lo, axis=1)
+                    out = cand if out is None else jnp.where(hi == r, cand, out)
+                return out
+            # Tree variant: masked terms reduced pairwise (log depth, ILP).
+            terms = [
+                jnp.where(hi == r, jnp.take_along_axis(row, lo, axis=1), 0)
+                for r, row in enumerate(tab_rows)
+            ]
+            while len(terms) > 1:
+                nxt = [terms[i] | terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+                if len(terms) % 2:
+                    nxt.append(terms[-1])
+                terms = nxt
+            return terms[0]
 
         def step(t, s, c):
             b = st_ref[t].astype(jnp.int32)
