@@ -52,9 +52,15 @@ from .xla_scan import StreamPlan, build_streams, stage_streams_device
 #: (``ops.grouped``).
 MAX_ROWS = 48
 
-#: Packed-entry layout: low 20 bits = next_state * k, high 12 bits = count.
+#: Packed-entry layouts.  packing=1: one int32 entry per lane — low 20 bits
+#: next_state * k, high 12 bits match count.  packing=2: two 16-bit entries
+#: per int32 lane (low 13 bits next_state * k, top 3 bits count) — halves
+#: the select-chain rows AND doubles capacity when the automaton fits the
+#: narrower fields (idx < 8192, per-state count <= 7).
 _STATE_BITS = 20
 _STATE_MASK = (1 << _STATE_BITS) - 1
+_STATE_BITS16 = 13
+_STATE_MASK16 = (1 << _STATE_BITS16) - 1
 
 
 class CapacityError(ValueError):
@@ -66,30 +72,78 @@ class CompressedMachine:
     """Byte-class-compressed, packed automaton arrays (host side)."""
 
     classmap: np.ndarray  # uint8/int32 [256] byte -> class
-    packed: np.ndarray  # int32 [rows * 128] flat (state, class) entries
+    packed: np.ndarray  # int32 [rows * 128] flat entries (see packing)
     n_states: int
     k: int  # number of byte classes
-    rows: int  # ceil(n_states * k / 128)
+    rows: int  # physical 128-lane rows of `packed`
+    packing: int = 1  # entries per int32 lane (1 or 2)
+
+    @property
+    def state_bits(self) -> int:
+        return _STATE_BITS16 if self.packing == 2 else _STATE_BITS
+
+    @property
+    def state_mask(self) -> int:
+        return (1 << self.state_bits) - 1
 
     @staticmethod
-    def from_machine(machine: AcMachine, max_rows: int = MAX_ROWS) -> "CompressedMachine":
+    def from_machine(
+        machine: AcMachine, max_rows: int = MAX_ROWS, force_packing: Optional[int] = None
+    ) -> "CompressedMachine":
         delta = machine.delta  # [S, 256]
         n_states = delta.shape[0]
         # Byte-class compression: unique delta columns become classes.
         cols = np.ascontiguousarray(delta.T)  # [256, S]
         uniq, inv = np.unique(cols, axis=0, return_inverse=True)
         k = uniq.shape[0]
-        if n_states * k > max_rows * 128:
+        n_entries = n_states * k
+        max_count = int(machine.match_count.max(initial=0))
+        comp = uniq.T.astype(np.int64)  # [n_states, k] next-state per class
+
+        # 16-bit packing only pays when it reduces physical rows (the
+        # unpack costs ~3 ops per lookup); single-row tables stay 32-bit.
+        if (
+            force_packing != 1
+            and n_entries > 128
+            and n_entries < (1 << _STATE_BITS16)
+            and max_count <= 7
+        ):
+            # 16-bit entries, two per lane: half the select-chain rows,
+            # double the capacity.
+            if n_entries > max_rows * 256:
+                raise CapacityError(
+                    f"n_states*k = {n_entries} exceeds {max_rows*256} "
+                    "16-bit packed entries"
+                )
+            e = (machine.match_count.astype(np.int64)[comp] << _STATE_BITS16) | (
+                comp * k
+            )
+            flat = e.reshape(-1)
+            n_pairs = -(-len(flat) // 2)
+            pairs = np.zeros(n_pairs * 2, dtype=np.int64)
+            pairs[: len(flat)] = flat
+            out = pairs[0::2] | (pairs[1::2] << 16)
+            rows = -(-len(out) // 128)
+            padded = np.zeros(rows * 128, dtype=np.int64)
+            padded[: len(out)] = out
+            return CompressedMachine(
+                classmap=inv.astype(np.int32),
+                packed=padded.astype(np.int32),
+                n_states=n_states,
+                k=k,
+                rows=rows,
+                packing=2,
+            )
+
+        if n_entries > max_rows * 128:
             raise CapacityError(
-                f"n_states*k = {n_states}*{k} = {n_states*k} exceeds "
+                f"n_states*k = {n_states}*{k} = {n_entries} exceeds "
                 f"{max_rows*128} packed entries"
             )
-        if int(machine.match_count.max(initial=0)) >= (1 << (32 - _STATE_BITS)):
+        if max_count >= (1 << (32 - _STATE_BITS)):
             raise CapacityError("per-state match count exceeds packed field")
-        if n_states * k >= (1 << _STATE_BITS):
+        if n_entries >= (1 << _STATE_BITS):
             raise CapacityError("state*k exceeds packed state field")
-        # compressed delta [n_states, k]: delta[s, class] via unique rows
-        comp = uniq.T.astype(np.int64)  # [n_states, k]
         packed = (machine.match_count.astype(np.int64)[comp] << _STATE_BITS) | (
             comp * k
         )
@@ -103,6 +157,7 @@ class CompressedMachine:
             n_states=n_states,
             k=k,
             rows=rows,
+            packing=1,
         )
 
 
@@ -114,15 +169,20 @@ def _broadcast_rows(table, rows: int, R: int):
     ]
 
 
-def _lookup_flat(row_bcasts, idx):
-    """Gather ``flat_table[idx]`` (idx in [0, rows*128)) over [R,128] lanes:
-    one dynamic_gather per table row plus a select chain."""
-    lo = idx & 127
-    hi = idx >> 7
+def _lookup_flat(row_bcasts, idx, packing: int = 1):
+    """Gather the packed entry at flat index ``idx`` over [R,128] lanes:
+    one dynamic_gather per physical table row plus a select chain.  With
+    ``packing == 2`` the physical index is ``idx >> 1`` and the 16-bit half
+    is selected by ``idx & 1``."""
+    phys = (idx >> 1) if packing == 2 else idx
+    lo = phys & 127
+    hi = phys >> 7
     out = None
     for r, row in enumerate(row_bcasts):
         cand = jnp.take_along_axis(row, lo, axis=1)
         out = cand if out is None else jnp.where(hi == r, cand, out)
+    if packing == 2:
+        out = jnp.where((idx & 1) == 1, out >> 16, out) & 0xFFFF
     return out
 
 
@@ -134,7 +194,7 @@ def _class_of(byte_rc, cls_rows):
     return jnp.where(byte_rc < 128, c0, c1)
 
 
-def _make_count_kernel(T_TILE: int, R: int, rows: int, n_tiles: int, unroll: int, reps: int):
+def _make_count_kernel(T_TILE: int, R: int, rows: int, n_tiles: int, unroll: int, reps: int, packing: int = 1):
     """Count kernel over a ``n_tiles * reps`` grid.
 
     ``reps > 1`` re-scans the same resident streams (index map wraps at
@@ -147,6 +207,8 @@ def _make_count_kernel(T_TILE: int, R: int, rows: int, n_tiles: int, unroll: int
     unmasked loop (boundary scalars prefetched via SMEM).
     """
     n_grid = n_tiles * reps
+    state_bits = _STATE_BITS16 if packing == 2 else _STATE_BITS
+    state_mask = (1 << state_bits) - 1
 
     def kernel(
         bscal_ref,  # SMEM [2] int32: [max warm_start, min valid_end]
@@ -182,9 +244,9 @@ def _make_count_kernel(T_TILE: int, R: int, rows: int, n_tiles: int, unroll: int
                 for j in range(unroll):
                     t = u * unroll + j
                     cls = _class_of(streams_ref[t].astype(jnp.int32), cls_rows)
-                    v = _lookup_flat(row_bcasts, sbase + cls)
-                    sbase = v & _STATE_MASK
-                    cnt = v >> _STATE_BITS
+                    v = _lookup_flat(row_bcasts, sbase + cls, packing)
+                    sbase = v & state_mask
+                    cnt = v >> state_bits
                     if masked:
                         tg = t0 + t
                         cnt = jnp.where((tg >= warm) & (tg < vend), cnt, 0)
@@ -210,7 +272,7 @@ def _make_count_kernel(T_TILE: int, R: int, rows: int, n_tiles: int, unroll: int
     return kernel
 
 
-def _make_states_kernel(T_TILE: int, R: int, rows: int, unroll: int):
+def _make_states_kernel(T_TILE: int, R: int, rows: int, unroll: int, packing: int = 1):
     """Same scan, but emits the packed table value per position; the host
     recovers the state id as ``(v & mask) // k``."""
 
@@ -234,9 +296,11 @@ def _make_states_kernel(T_TILE: int, R: int, rows: int, unroll: int):
             for j in range(unroll):
                 t = u * unroll + j
                 cls = _class_of(streams_ref[t].astype(jnp.int32), cls_rows)
-                v = _lookup_flat(row_bcasts, sbase + cls)
+                v = _lookup_flat(row_bcasts, sbase + cls, packing)
                 out_ref[t] = v
-                sbase = v & _STATE_MASK
+                sbase = v & (
+                    _STATE_MASK16 if packing == 2 else _STATE_MASK
+                )
             return sbase
 
         state_scr[:] = jax.lax.fori_loop(0, T_TILE // unroll, body, state_scr[:])
@@ -326,7 +390,13 @@ class PallasAcEngine:
         if key not in self._count_fn:
             n_tiles = T // self.t_tile
             kernel = _make_count_kernel(
-                self.t_tile, self.R, self.comp.rows, n_tiles, self.unroll, reps
+                self.t_tile,
+                self.R,
+                self.comp.rows,
+                n_tiles,
+                self.unroll,
+                reps,
+                self.comp.packing,
             )
             R, S, t_tile = self.R, self.S, self.t_tile
 
@@ -378,7 +448,9 @@ class PallasAcEngine:
             t_tile = self._states_t_tile()
             n_tiles = T // t_tile
             unroll = min(self.unroll, t_tile)
-            kernel = _make_states_kernel(t_tile, self.R, self.comp.rows, unroll)
+            kernel = _make_states_kernel(
+                t_tile, self.R, self.comp.rows, unroll, self.comp.packing
+            )
             R, S = self.R, self.S
 
             @jax.jit
@@ -464,7 +536,7 @@ class PallasAcEngine:
         n = plan.n
         fn = self._get_states_fn(plan.time_len)
         packed_ts = np.asarray(fn(self._classmap_dev, self._table_dev, st.streams_dev))
-        states_ts = (packed_ts & _STATE_MASK) // self.comp.k
+        states_ts = (packed_ts & self.comp.state_mask) // self.comp.k
         out = np.empty(n, dtype=np.int32)
         L = plan.emit_len
         for i in range(plan.n_streams):
@@ -488,11 +560,13 @@ class PallasAcEngine:
         if key not in self._count_fn:
             S = self.S
 
+            state_bits = self.comp.state_bits
+
             @jax.jit
             def ex(packed_ts, warm_s, vend_s, L):
                 # Hit mask from the packed per-position values: count rides
                 # in the high bits, so no big state->count gather is needed.
-                cnt = packed_ts >> _STATE_BITS
+                cnt = packed_ts >> state_bits
                 tg = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
                 valid = (tg >= warm_s[None, :]) & (tg < vend_s[None, :])
                 mask = (cnt > 0) & valid
@@ -533,7 +607,7 @@ class PallasAcEngine:
             cap = 1 << int(np.ceil(np.log2(n + 1)))
         pos = np.asarray(pos[:n], dtype=np.int64)
         pk = np.asarray(pk[:n])
-        states = ((pk & _STATE_MASK) // self.comp.k).astype(np.int64)
+        states = ((pk & self.comp.state_mask) // self.comp.k).astype(np.int64)
         order = np.argsort(pos, kind="stable")
         return pos[order], states[order]
 

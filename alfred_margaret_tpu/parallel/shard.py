@@ -108,7 +108,10 @@ class DistributedAcEngine:
         if self.inner == "pallas":
             from ..ops.pallas_scan import CompressedMachine
 
-            comps = [CompressedMachine.from_machine(sm) for sm in self.sub_machines]
+            comps = [
+                CompressedMachine.from_machine(sm, force_packing=1)
+                for sm in self.sub_machines
+            ]
             rows_max = max(c.rows for c in comps)
             cms = np.stack(
                 [np.resize(c.classmap, 256).reshape(2, 128) for c in comps]

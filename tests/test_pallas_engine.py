@@ -36,17 +36,28 @@ class TestCompressedMachine:
         with pytest.raises(CapacityError):
             CompressedMachine.from_machine(m, max_rows=4)
 
-    def test_packed_roundtrip(self):
-        m = ac.build([(b"ab", 0), (b"abc", 1)])
-        comp = CompressedMachine.from_machine(m)
+    @pytest.mark.parametrize("force", [None, 1])
+    def test_packed_roundtrip(self, force):
+        # >128 entries so auto-packing picks the 16-bit layout (it only
+        # pays when it reduces physical rows).
+        needles = [bytes([97 + i % 11, 98 + (i * 3) % 9, 99 + i % 7]) for i in range(24)]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        comp = CompressedMachine.from_machine(m, force_packing=force)
+        assert comp.n_states * comp.k > 128
+        assert comp.packing == (2 if force is None else 1)
         # Decode the packed entries back and compare against delta.
         packed = comp.packed.reshape(-1)
         for s in range(m.n_states):
             for b in range(256):
                 idx = s * comp.k + comp.classmap[b]
-                v = int(packed[idx])
-                assert (v & 0xFFFFF) // comp.k == m.delta[s, b]
-                assert (v >> 20) == m.match_count[m.delta[s, b]]
+                if comp.packing == 2:
+                    word = int(packed[idx // 2])
+                    v = (word >> 16) if idx & 1 else word
+                    v &= 0xFFFF
+                else:
+                    v = int(packed[idx])
+                assert (v & comp.state_mask) // comp.k == m.delta[s, b]
+                assert (v >> comp.state_bits) == m.match_count[m.delta[s, b]]
 
 
 class TestPallasInterpretParity:
