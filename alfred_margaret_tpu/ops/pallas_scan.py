@@ -140,7 +140,10 @@ class CompressedMachine:
                 f"n_states*k = {n_states}*{k} = {n_entries} exceeds "
                 f"{max_rows*128} packed entries"
             )
-        if max_count >= (1 << (32 - _STATE_BITS)):
+        # 31, not 32: a count in the top bit would make the packed int32
+        # negative and ``v >> state_bits`` (arithmetic shift) would return
+        # a negative count.
+        if max_count >= (1 << (31 - _STATE_BITS)):
             raise CapacityError("per-state match count exceeds packed field")
         if n_entries >= (1 << _STATE_BITS):
             raise CapacityError("state*k exceeds packed state field")
@@ -169,13 +172,15 @@ def _broadcast_rows(table, rows: int, R: int):
     ]
 
 
-def _lookup_flat(row_bcasts, idx, packing: int = 1):
+def _lookup_flat(row_bcasts, idx, packing: int = 1, in_range: bool = False):
     """Gather the packed entry at flat index ``idx`` over [R,128] lanes:
     one dynamic_gather per physical table row plus a select chain.  With
     ``packing == 2`` the physical index is ``idx >> 1`` and the 16-bit half
-    is selected by ``idx & 1``."""
+    is selected by ``idx & 1``.  ``in_range=True`` asserts (statically) that
+    every possible index hits row 0 (n_states*k <= 128*packing), dropping
+    the ``& 127`` lane clamp from the dependent chain."""
     phys = (idx >> 1) if packing == 2 else idx
-    lo = phys & 127
+    lo = phys if in_range else phys & 127
     hi = phys >> 7
     out = None
     for r, row in enumerate(row_bcasts):
@@ -186,15 +191,31 @@ def _lookup_flat(row_bcasts, idx, packing: int = 1):
     return out
 
 
-def _class_of(byte_rc, cls_rows):
-    """Byte -> class: 256-entry lookup as 2 row-gathers + select."""
+def _class_of(byte_rc, cls_rows, fold: bool = False):
+    """Byte -> class: 256-entry lookup as 2 row-gathers + select.  With
+    ``fold=True`` (every byte >= 127 maps to the same class — true whenever
+    all needle bytes are ASCII < 0x7F) the high half of the map collapses
+    into entry 127, so the lookup is one ``min`` + one row-gather."""
+    if fold:
+        return jnp.take_along_axis(cls_rows[0], jnp.minimum(byte_rc, 127), axis=1)
     blo = byte_rc & 127
     c0 = jnp.take_along_axis(cls_rows[0], blo, axis=1)
     c1 = jnp.take_along_axis(cls_rows[1], blo, axis=1)
     return jnp.where(byte_rc < 128, c0, c1)
 
 
-def _make_count_kernel(T_TILE: int, R: int, rows: int, n_tiles: int, unroll: int, reps: int, packing: int = 1):
+def _make_count_kernel(
+    T_TILE: int,
+    R: int,
+    rows: int,
+    n_tiles: int,
+    unroll: int,
+    reps: int,
+    packing: int = 1,
+    fold: bool = False,
+    in_range: bool = False,
+    defer: bool = False,
+):
     """Count kernel over a ``n_tiles * reps`` grid.
 
     ``reps > 1`` re-scans the same resident streams (index map wraps at
@@ -241,16 +262,32 @@ def _make_count_kernel(T_TILE: int, R: int, rows: int, n_tiles: int, unroll: int
         def make_body(masked):
             def body(u, carry):
                 sbase, counts = carry
+                # Interior tiles with ``defer``: accumulate the raw packed
+                # entries and extract the count sum once per unroll block —
+                # the state field's partial sums stay below bit
+                # ``state_bits`` (guaranteed by the n_entries*unroll bound
+                # checked at kernel-build time), so ``vsum >> state_bits``
+                # is exactly the block's match-count sum.
+                vsum = None
                 for j in range(unroll):
                     t = u * unroll + j
-                    cls = _class_of(streams_ref[t].astype(jnp.int32), cls_rows)
-                    v = _lookup_flat(row_bcasts, sbase + cls, packing)
+                    cls = _class_of(
+                        streams_ref[t].astype(jnp.int32), cls_rows, fold
+                    )
+                    v = _lookup_flat(row_bcasts, sbase + cls, packing, in_range)
                     sbase = v & state_mask
-                    cnt = v >> state_bits
                     if masked:
                         tg = t0 + t
-                        cnt = jnp.where((tg >= warm) & (tg < vend), cnt, 0)
-                    counts = counts + cnt
+                        cnt = jnp.where(
+                            (tg >= warm) & (tg < vend), v >> state_bits, 0
+                        )
+                        counts = counts + cnt
+                    elif defer:
+                        vsum = v if vsum is None else vsum + v
+                    else:
+                        counts = counts + (v >> state_bits)
+                if not masked and defer:
+                    counts = counts + (vsum >> state_bits)
                 return sbase, counts
 
             return body
@@ -272,7 +309,15 @@ def _make_count_kernel(T_TILE: int, R: int, rows: int, n_tiles: int, unroll: int
     return kernel
 
 
-def _make_states_kernel(T_TILE: int, R: int, rows: int, unroll: int, packing: int = 1):
+def _make_states_kernel(
+    T_TILE: int,
+    R: int,
+    rows: int,
+    unroll: int,
+    packing: int = 1,
+    fold: bool = False,
+    in_range: bool = False,
+):
     """Same scan, but emits the packed table value per position; the host
     recovers the state id as ``(v & mask) // k``."""
 
@@ -295,8 +340,8 @@ def _make_states_kernel(T_TILE: int, R: int, rows: int, unroll: int, packing: in
         def body(u, sbase):
             for j in range(unroll):
                 t = u * unroll + j
-                cls = _class_of(streams_ref[t].astype(jnp.int32), cls_rows)
-                v = _lookup_flat(row_bcasts, sbase + cls, packing)
+                cls = _class_of(streams_ref[t].astype(jnp.int32), cls_rows, fold)
+                v = _lookup_flat(row_bcasts, sbase + cls, packing, in_range)
                 out_ref[t] = v
                 sbase = v & (
                     _STATE_MASK16 if packing == 2 else _STATE_MASK
@@ -362,6 +407,19 @@ class PallasAcEngine:
             raise ValueError("overlap override below the machine's requirement")
         cm = np.zeros(256, dtype=np.int32)
         cm[: len(self.comp.classmap)] = self.comp.classmap
+        n_entries = self.comp.n_states * self.comp.k
+        # Steady-loop op-shaving eligibility (see _class_of/_lookup_flat and
+        # the deferred-count accumulation in _make_count_kernel):
+        self._fold = bool((cm[127:] == cm[127]).all())
+        self._in_range = n_entries <= 128 * self.comp.packing
+        max_count = int(machine.match_count.max(initial=0))
+        self._defer = (
+            self.comp.packing == 1
+            # state-field partial sums must stay below bit _STATE_BITS ...
+            and (n_entries - 1) * self.unroll < (1 << _STATE_BITS)
+            # ... and count-field partial sums below the int32 sign bit.
+            and max_count * self.unroll < (1 << (31 - _STATE_BITS))
+        )
         self._classmap_dev = jnp.asarray(cm.reshape(2, 128))
         self._table_dev = jnp.asarray(self.comp.packed.reshape(self.comp.rows, 128))
         self._count_fn = {}
@@ -397,6 +455,9 @@ class PallasAcEngine:
                 self.unroll,
                 reps,
                 self.comp.packing,
+                fold=self._fold,
+                in_range=self._in_range,
+                defer=self._defer,
             )
             R, S, t_tile = self.R, self.S, self.t_tile
 
@@ -449,7 +510,13 @@ class PallasAcEngine:
             n_tiles = T // t_tile
             unroll = min(self.unroll, t_tile)
             kernel = _make_states_kernel(
-                t_tile, self.R, self.comp.rows, unroll, self.comp.packing
+                t_tile,
+                self.R,
+                self.comp.rows,
+                unroll,
+                self.comp.packing,
+                fold=self._fold,
+                in_range=self._in_range,
             )
             R, S = self.R, self.S
 

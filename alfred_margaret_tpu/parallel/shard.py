@@ -122,6 +122,17 @@ class DistributedAcEngine:
             self._cms = jnp.asarray(cms.astype(np.int32))
             self._tabs = jnp.asarray(tabs)
             self._rows = rows_max
+            # Steady-loop op-shaving flags, valid only if every needle
+            # group's table qualifies (one kernel serves all groups).
+            self._fold = all(
+                bool((np.resize(c.classmap, 256)[127:] == c.classmap[127]).all())
+                for c in comps
+            )
+            self._max_entries = max(c.n_states * c.k for c in comps)
+            self._in_range = self._max_entries <= 128
+            self._max_count = max(
+                int(sm.match_count.max(initial=0)) for sm in self.sub_machines
+            )
         else:
             n_states_max = max(sm.n_states for sm in self.sub_machines)
             deltas = np.zeros(
@@ -153,7 +164,18 @@ class DistributedAcEngine:
             while t_tile % unroll:
                 unroll //= 2
             kernel = ps._make_count_kernel(
-                t_tile, R_local, self._rows, n_tiles, unroll, reps=1
+                t_tile,
+                R_local,
+                self._rows,
+                n_tiles,
+                unroll,
+                reps=1,
+                fold=self._fold,
+                in_range=self._in_range,
+                defer=(
+                    (self._max_entries - 1) * unroll < (1 << ps._STATE_BITS)
+                    and self._max_count * unroll < (1 << (31 - ps._STATE_BITS))
+                ),
             )
 
             def local_counts(cm, tab, streams, warm, vend):

@@ -90,6 +90,26 @@ class TestPallasInterpretParity:
         assert eng.count(b"") == 0
         assert len(eng.final_states(b"")) == 0
 
+    def test_fold_boundary_byte_0x7f(self):
+        # 0x7F is the classmap-fold pivot: a needle containing it must
+        # disable the min(b,127) single-gather class lookup, and a needle
+        # with bytes >= 0x80 must too.  Counts stay exact either way.
+        for needles in ([b"a\x7fb", b"\x7f\x7f"], [b"caf\xc3\xa9", b"ab"]):
+            m = ac.build([(n, i) for i, n in enumerate(needles)])
+            eng = self._engine(m)
+            assert not eng._fold
+            hay = (b"xa\x7fb caf\xc3\xa9 \x7f\x7f\x7f \xc3\xa9z" * 50)[:997]
+            assert eng.count(hay) == ac.count_matches(m, hay)
+
+    def test_fold_enabled_ascii(self):
+        # Pure-ASCII needles qualify for the folded class lookup; haystack
+        # bytes >= 0x7F must still resolve to class 0 (no false matches).
+        m = ac.build([(b"ab", 0), (b"bc", 1)])
+        eng = self._engine(m)
+        assert eng._fold and eng._in_range and eng._defer
+        hay = b"ab\x7fbc\x80ab\xffab" * 30
+        assert eng.count(hay) == ac.count_matches(m, hay)
+
 
 class TestGroupedEngine:
     """Needle-grouped multi-pass engine (ops.grouped) parity, interpret mode."""
