@@ -172,15 +172,20 @@ def _broadcast_rows(table, rows: int, R: int):
     ]
 
 
-def _lookup_flat(row_bcasts, idx, packing: int = 1, in_range: bool = False):
+def _lookup_flat(
+    row_bcasts, idx, packing: int = 1, in_range: bool = False, wrap: bool = False
+):
     """Gather the packed entry at flat index ``idx`` over [R,128] lanes:
     one dynamic_gather per physical table row plus a select chain.  With
     ``packing == 2`` the physical index is ``idx >> 1`` and the 16-bit half
     is selected by ``idx & 1``.  ``in_range=True`` asserts (statically) that
     every possible index hits row 0 (n_states*k <= 128*packing), dropping
-    the ``& 127`` lane clamp from the dependent chain."""
+    the ``& 127`` lane clamp from the dependent chain.  ``wrap=True``
+    re-adds the clamp to emulate the TPU's native mod-128 lane indexing
+    (measured: garbage high index bits are ignored in hardware) for
+    interpreter mode, where JAX clamps out-of-range gathers instead."""
     phys = (idx >> 1) if packing == 2 else idx
-    lo = phys if in_range else phys & 127
+    lo = (phys & 127) if (wrap or not in_range) else phys
     hi = phys >> 7
     out = None
     for r, row in enumerate(row_bcasts):
@@ -191,11 +196,42 @@ def _lookup_flat(row_bcasts, idx, packing: int = 1, in_range: bool = False):
     return out
 
 
-def _class_of(byte_rc, cls_rows, fold: bool = False):
+#: Use the gather-free weighted compare chain for the byte->class map when
+#: the classmap has at most this many value boundaries over 0..255.  The
+#: steady loop is GATHER-throughput-bound (~112 GB/s at 2 gathers/byte, the
+#: 1-gather ceiling is ~165 — experiments/tpu_runs_classifier.py), so
+#: trading the classmap gather for ~1.6 ALU ops per boundary wins by ~44%
+#: at 9 boundaries and stays ahead until roughly this many.
+WRUNS_MAX_BOUNDARIES = 24
+
+
+def _classmap_wpairs(cm256: np.ndarray):
+    """``(init, ((s_i, delta_i), ...))`` telescoping the 256-entry classmap:
+    class(b) = init + sum(delta_i for s_i <= b), or None if the boundary
+    count exceeds ``WRUNS_MAX_BOUNDARIES``."""
+    pairs = [
+        (b, int(cm256[b]) - int(cm256[b - 1]))
+        for b in range(1, 256)
+        if cm256[b] != cm256[b - 1]
+    ]
+    if len(pairs) > WRUNS_MAX_BOUNDARIES:
+        return None
+    return (int(cm256[0]), tuple(pairs))
+
+
+def _class_of(byte_rc, cls_rows, fold: bool = False, wpairs=None):
     """Byte -> class: 256-entry lookup as 2 row-gathers + select.  With
     ``fold=True`` (every byte >= 127 maps to the same class — true whenever
     all needle bytes are ASCII < 0x7F) the high half of the map collapses
-    into entry 127, so the lookup is one ``min`` + one row-gather."""
+    into entry 127, so the lookup is one ``min`` + one row-gather.  With
+    ``wpairs`` (from ``_classmap_wpairs``) the lookup is a gather-free
+    weighted compare chain — the fastest mode on gather-bound loops."""
+    if wpairs is not None:
+        init, pairs = wpairs
+        cls = jnp.full(byte_rc.shape, init, jnp.int32)
+        for s0, d0 in pairs:
+            cls = cls + jnp.where(byte_rc >= s0, jnp.int32(d0), jnp.int32(0))
+        return cls
     if fold:
         return jnp.take_along_axis(cls_rows[0], jnp.minimum(byte_rc, 127), axis=1)
     blo = byte_rc & 127
@@ -215,6 +251,9 @@ def _make_count_kernel(
     fold: bool = False,
     in_range: bool = False,
     defer: bool = False,
+    nomask: bool = False,
+    interpret: bool = False,
+    wpairs=None,
 ):
     """Count kernel over a ``n_tiles * reps`` grid.
 
@@ -272,10 +311,18 @@ def _make_count_kernel(
                 for j in range(unroll):
                     t = u * unroll + j
                     cls = _class_of(
-                        streams_ref[t].astype(jnp.int32), cls_rows, fold
+                        streams_ref[t].astype(jnp.int32), cls_rows, fold, wpairs
                     )
-                    v = _lookup_flat(row_bcasts, sbase + cls, packing, in_range)
-                    sbase = v & state_mask
+                    v = _lookup_flat(
+                        row_bcasts, sbase + cls, packing, in_range,
+                        wrap=nomask and interpret,
+                    )
+                    # ``nomask``: carry the raw packed entry — the TPU's
+                    # lane gather indexes mod 128, and the count field
+                    # (bit >= state_bits >= 7) is a multiple of 128, so the
+                    # next ``sbase + cls`` still lands on the right entry.
+                    # Requires in_range (single physical row) and packing 1.
+                    sbase = v if nomask else v & state_mask
                     if masked:
                         tg = t0 + t
                         cnt = jnp.where(
@@ -309,6 +356,98 @@ def _make_count_kernel(
     return kernel
 
 
+class _StickyView:
+    """Absorbing-state view of an ``AcMachine`` for existence queries.
+
+    Entering any match state (``match_count > 0``) is redirected to a new
+    absorbing state that loops to itself, and all counts are dropped — so a
+    scan needs no per-byte count accumulation at all: the final state says
+    whether any match was seen.  Mirrors the reference's ``containsAny``
+    early-exit fold (``AhoCorasick/Searcher.hs:156-164``) — no early exit on
+    SIMD hardware, but 2 fewer vector ops per byte than counting.
+    """
+
+    def __init__(self, machine: AcMachine):
+        delta = machine.delta
+        n = delta.shape[0]
+        self.absorb = n
+        d2 = np.empty((n + 1, 256), dtype=np.int32)
+        d2[:n] = np.where(machine.match_count[delta] > 0, n, delta)
+        d2[n] = n
+        self.delta = d2
+        self.match_count = np.zeros(n + 1, dtype=np.int32)
+
+
+def _make_contains_kernel(
+    T_TILE: int,
+    R: int,
+    rows: int,
+    n_tiles: int,
+    unroll: int,
+    reps: int,
+    packing: int = 1,
+    fold: bool = False,
+    in_range: bool = False,
+    wpairs=None,
+):
+    """Existence kernel over the sticky (absorbing) table: carries only the
+    state, no count ops.  Sticky entries are pure ``state * k`` (no count
+    bits), so no masking of the carried value is ever needed.  Boundary
+    tiles freeze the state past each stream's valid end so right-padding
+    zeros can't absorb (warm-region matches are real haystack bytes and may
+    absorb freely — existence is global, attribution doesn't matter)."""
+    n_grid = n_tiles * reps
+
+    def kernel(
+        bscal_ref,  # SMEM [2] int32 (only [1] = min valid_end used)
+        classmap_ref,  # [2, 128] int32
+        table_ref,  # [rows, 128] int32 packed (sticky: counts all zero)
+        vend_ref,  # [R, 128] int32 valid_end per stream
+        streams_ref,  # [T_TILE, R, 128] uint8 tile
+        out_ref,  # [R, 128] int32 final sticky state*k per stream
+        state_scr,  # [R, 128] int32
+    ):
+        tile = pl.program_id(0)
+        tmod = jax.lax.rem(tile, n_tiles) if reps > 1 else tile
+
+        @pl.when(tmod == 0)
+        def _init_state():
+            state_scr[:] = jnp.zeros((R, 128), jnp.int32)
+
+        cls_rows = _broadcast_rows(classmap_ref[:], 2, R)
+        row_bcasts = _broadcast_rows(table_ref[:], rows, R)
+        vend = vend_ref[:]
+        t0 = tmod * T_TILE
+
+        def make_body(masked):
+            def body(u, sbase):
+                for j in range(unroll):
+                    t = u * unroll + j
+                    cls = _class_of(
+                        streams_ref[t].astype(jnp.int32), cls_rows, fold, wpairs
+                    )
+                    v = _lookup_flat(row_bcasts, sbase + cls, packing, in_range)
+                    sbase = jnp.where(t0 + t < vend, v, sbase) if masked else v
+                return sbase
+
+            return body
+
+        is_boundary = t0 + T_TILE > bscal_ref[1]
+        sbase = jax.lax.cond(
+            is_boundary,
+            lambda s: jax.lax.fori_loop(0, T_TILE // unroll, make_body(True), s),
+            lambda s: jax.lax.fori_loop(0, T_TILE // unroll, make_body(False), s),
+            state_scr[:],
+        )
+        state_scr[:] = sbase
+
+        @pl.when(tile == n_grid - 1)
+        def _fin():
+            out_ref[:] = state_scr[:]
+
+    return kernel
+
+
 def _make_states_kernel(
     T_TILE: int,
     R: int,
@@ -317,6 +456,7 @@ def _make_states_kernel(
     packing: int = 1,
     fold: bool = False,
     in_range: bool = False,
+    wpairs=None,
 ):
     """Same scan, but emits the packed table value per position; the host
     recovers the state id as ``(v & mask) // k``."""
@@ -340,7 +480,7 @@ def _make_states_kernel(
         def body(u, sbase):
             for j in range(unroll):
                 t = u * unroll + j
-                cls = _class_of(streams_ref[t].astype(jnp.int32), cls_rows, fold)
+                cls = _class_of(streams_ref[t].astype(jnp.int32), cls_rows, fold, wpairs)
                 v = _lookup_flat(row_bcasts, sbase + cls, packing, in_range)
                 out_ref[t] = v
                 sbase = v & (
@@ -420,10 +560,21 @@ class PallasAcEngine:
             # ... and count-field partial sums below the int32 sign bit.
             and max_count * self.unroll < (1 << (31 - _STATE_BITS))
         )
+        # Raw-entry state carry: the TPU lane gather indexes mod 128, so the
+        # packed count bits (multiples of 2**_STATE_BITS, hence of 128) never
+        # perturb an in-range single-row lookup (measured on hardware, see
+        # experiments/tpu_gather_semantics.py).
+        self._nomask = self._in_range and self.comp.packing == 1
+        # Gather-free byte->class compare chain (the loop is gather-bound:
+        # 2 gathers/byte ~112 GB/s vs 1 gather/byte ~151 measured,
+        # experiments/tpu_runs_classifier.py).
+        self._wpairs = _classmap_wpairs(cm)
         self._classmap_dev = jnp.asarray(cm.reshape(2, 128))
         self._table_dev = jnp.asarray(self.comp.packed.reshape(self.comp.rows, 128))
         self._count_fn = {}
         self._states_fn = {}
+        self.max_rows = max_rows
+        self._contains_state: Optional[dict] = None  # lazy sticky machinery
 
     # -- layout ------------------------------------------------------------
 
@@ -458,6 +609,9 @@ class PallasAcEngine:
                 fold=self._fold,
                 in_range=self._in_range,
                 defer=self._defer,
+                nomask=self._nomask,
+                interpret=self.interpret,
+                wpairs=self._wpairs,
             )
             R, S, t_tile = self.R, self.S, self.t_tile
 
@@ -517,6 +671,7 @@ class PallasAcEngine:
                 self.comp.packing,
                 fold=self._fold,
                 in_range=self._in_range,
+                wpairs=self._wpairs,
             )
             R, S = self.R, self.S
 
@@ -597,6 +752,89 @@ class PallasAcEngine:
         if len(data) == 0:
             return 0
         return self.count_staged(self.stage(data), reps)
+
+    # -- existence (sticky absorbing-state) scan ---------------------------
+
+    def _sticky_setup(self) -> dict:
+        if self._contains_state is None:
+            sv = _StickyView(self.machine)
+            comp = CompressedMachine.from_machine(sv, self.max_rows)  # may raise CapacityError
+            cm = np.zeros(256, dtype=np.int32)
+            cm[: len(comp.classmap)] = comp.classmap
+            self._contains_state = dict(
+                comp=comp,
+                fold=bool((cm[127:] == cm[127]).all()),
+                in_range=comp.n_states * comp.k <= 128 * comp.packing,
+                wpairs=_classmap_wpairs(cm),
+                absorb_pk=sv.absorb * comp.k,
+                cm=jnp.asarray(cm.reshape(2, 128)),
+                tab=jnp.asarray(comp.packed.reshape(comp.rows, 128)),
+                fns={},
+            )
+        return self._contains_state
+
+    def _get_contains_fn(self, T: int, reps: int = 1):
+        c = self._sticky_setup()
+        key = (T, reps)
+        if key not in c["fns"]:
+            comp = c["comp"]
+            n_tiles = T // self.t_tile
+            unroll = 8 if comp.rows <= 8 else (4 if comp.rows <= 16 else 2)
+            kernel = _make_contains_kernel(
+                self.t_tile,
+                self.R,
+                comp.rows,
+                n_tiles,
+                unroll,
+                reps,
+                comp.packing,
+                fold=c["fold"],
+                in_range=c["in_range"],
+                wpairs=c["wpairs"],
+            )
+            R, t_tile = self.R, self.t_tile
+
+            @jax.jit
+            def run(bscal, classmap, table, vend, streams_u8):
+                streams = streams_u8.reshape(T, R, 128)
+                return pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles * reps,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (comp.rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                        ),
+                        pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (t_tile, R, 128),
+                            lambda i: (i % n_tiles, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+                    scratch_shapes=[pltpu.VMEM((R, 128), jnp.int32)],
+                    interpret=self.interpret,
+                )(bscal, classmap, table, vend, streams)
+
+            c["fns"][key] = run
+        return c["fns"][key]
+
+    def contains_staged(self, st: StagedStreams, reps: int = 1) -> bool:
+        c = self._sticky_setup()
+        fn = self._get_contains_fn(st.plan.time_len, reps)
+        out = np.asarray(fn(st.bscal, c["cm"], c["tab"], st.vend_t, st.streams_dev))
+        return bool((out == c["absorb_pk"]).any())
+
+    def contains(self, text: utf8.TextLike, reps: int = 1) -> bool:
+        """``containsAny``: one absorbing-state scan, ~2 fewer vector ops
+        per byte than counting (no count accumulation or extraction)."""
+        data = utf8.to_u8(text)
+        if len(data) == 0:
+            return False
+        return self.contains_staged(self.stage(data), reps)
 
     def final_states_staged(self, st: StagedStreams) -> np.ndarray:
         plan, warm = st.plan, st.warm_np

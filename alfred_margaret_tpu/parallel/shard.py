@@ -176,6 +176,10 @@ class DistributedAcEngine:
                     (self._max_entries - 1) * unroll < (1 << ps._STATE_BITS)
                     and self._max_count * unroll < (1 << (31 - ps._STATE_BITS))
                 ),
+                # The pallas inner runs on real TPU only (see __init__), so
+                # the hardware's mod-128 lane indexing makes the raw-entry
+                # state carry safe whenever the table is single-row.
+                nomask=self._in_range,
             )
 
             def local_counts(cm, tab, streams, warm, vend):

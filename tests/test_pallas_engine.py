@@ -101,6 +101,60 @@ class TestPallasInterpretParity:
             hay = (b"xa\x7fb caf\xc3\xa9 \x7f\x7f\x7f \xc3\xa9z" * 50)[:997]
             assert eng.count(hay) == ac.count_matches(m, hay)
 
+    def test_wpairs_gating_and_parity(self):
+        # Few classmap boundaries -> gather-free compare chain; scattered
+        # needle bytes (> WRUNS_MAX_BOUNDARIES boundaries) -> classmap
+        # gather. Counts identical either way.
+        from alfred_margaret_tpu.ops import pallas_scan as ps
+
+        m_small = ac.build([(b"ab", 0), (b"bc", 1)])
+        eng = self._engine(m_small)
+        assert eng._wpairs is not None
+        scattered = [bytes([16 * i, 16 * i + 1]) for i in range(16)]
+        m_big = ac.build([(n, i) for i, n in enumerate(scattered)])
+        eng_big = self._engine(m_big)
+        assert eng_big._wpairs is None  # 32 boundaries > WRUNS_MAX_BOUNDARIES
+        rng = np.random.default_rng(11)
+        hay = bytes(rng.integers(0, 256, size=3000, dtype=np.uint8).tolist())
+        for mm, ee in ((m_small, eng), (m_big, eng_big)):
+            assert ee.count(hay) == ac.count_matches(mm, hay)
+
+    def test_contains_sticky_parity(self):
+        # Absorbing-state existence kernel vs oracle, incl. haystacks with
+        # the match only in a stream-boundary overlap region and haystacks
+        # with no match at all.
+        m = ac.build([(n, i) for i, n in enumerate(["tshirt", "shirts", "shorts"])])
+        eng = self._engine(m)
+        rng = np.random.default_rng(3)
+        for hay in [
+            b"short tshirts and shorts galore " * 40,
+            bytes(rng.choice(list(b"xyz "), size=3000)),  # no match
+            b"x" * 2999 + b"tshirt",  # match at the very end
+            b"tshirt" + b"x" * 2999,  # match at the very start
+            b"",
+        ]:
+            assert eng.contains(hay) == (ac.count_matches(m, hay) > 0), hay[:20]
+
+    def test_contains_sticky_16bit_packing(self):
+        # A machine big enough that the sticky table uses 16-bit packing.
+        needles = [bytes([97 + i % 11, 98 + (i * 3) % 9, 99 + i % 7]) for i in range(24)]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        eng = self._engine(m)
+        assert eng._sticky_setup()["comp"].packing == 2
+        hay = (b"".join(needles[:5]) + b"zzz") * 60
+        assert eng.contains(hay)
+        assert not eng.contains(b"ZQW" * 500)
+
+    def test_contains_nul_needle_padding(self):
+        # Needles containing NUL bytes must not falsely absorb in the
+        # zero right-padding beyond each stream's valid end.
+        m = ac.build([(b"\x00\x00a", 0)])
+        eng = self._engine(m)
+        assert not eng.contains(b"bcd" * 400)
+        assert eng.contains(b"bc\x00\x00add" * 200)
+        # ... and padding zeros followed by nothing: no match.
+        assert not eng.contains(b"b" * 1000 + b"\x00\x00")
+
     def test_fold_enabled_ascii(self):
         # Pure-ASCII needles qualify for the folded class lookup; haystack
         # bytes >= 0x7F must still resolve to class 0 (no false matches).
