@@ -201,8 +201,9 @@ def _lookup_flat(
 #: steady loop is GATHER-throughput-bound (~112 GB/s at 2 gathers/byte, the
 #: 1-gather ceiling is ~165 — experiments/tpu_runs_classifier.py), so
 #: trading the classmap gather for ~1.6 ALU ops per boundary wins by ~44%
-#: at 9 boundaries and stays ahead until roughly this many.
-WRUNS_MAX_BOUNDARIES = 24
+#: at 9 boundaries and stays well ahead through the canonical lowercase
+#: a-z needle alphabet (27 boundaries).
+WRUNS_MAX_BOUNDARIES = 32
 
 
 def _classmap_wpairs(cm256: np.ndarray):

@@ -133,6 +133,15 @@ class DistributedAcEngine:
             self._max_count = max(
                 int(sm.match_count.max(initial=0)) for sm in self.sub_machines
             )
+            # Gather-free byte->class chain: bakes classmap constants into
+            # the kernel, so only valid when one group serves all shards.
+            from ..ops.pallas_scan import _classmap_wpairs
+
+            self._wpairs = (
+                _classmap_wpairs(np.resize(comps[0].classmap, 256))
+                if len(comps) == 1
+                else None
+            )
         else:
             n_states_max = max(sm.n_states for sm in self.sub_machines)
             deltas = np.zeros(
@@ -180,6 +189,7 @@ class DistributedAcEngine:
                 # the hardware's mod-128 lane indexing makes the raw-entry
                 # state carry safe whenever the table is single-row.
                 nomask=self._in_range,
+                wpairs=self._wpairs,
             )
 
             def local_counts(cm, tab, streams, warm, vend):

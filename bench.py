@@ -93,7 +93,9 @@ def main() -> int:
         from alfred_margaret_tpu.ops.pallas_scan import PallasAcEngine
 
         eng = PallasAcEngine(machine)
-        r_lo, r_hi = 2, 34
+        # Wide rep spread: the ~30 ms relay round-trip jitters by up to
+        # ~10 ms between runs, so the slope denominator must dwarf it.
+        r_lo, r_hi = 2, 130
         t_lo, c_lo = _time_device_scan(eng, data, r_lo)
         t_hi, c_hi = _time_device_scan(eng, data, r_hi)
         assert c_lo * r_hi == c_hi * r_lo, f"rep-count mismatch {c_lo}x{r_hi} != {c_hi}x{r_lo}"
