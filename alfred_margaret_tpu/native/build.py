@@ -112,6 +112,16 @@ def load() -> ctypes.CDLL:
             ctypes.c_void_p,  # out_len
             ctypes.c_void_p,  # out_nbytes
         ]
+        lib.am_lower_bytes.restype = ctypes.c_int32
+        lib.am_lower_bytes.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
         lib.am_lower_ascii.restype = None
         lib.am_lower_ascii.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         lib.am_is_ascii.restype = ctypes.c_int32

@@ -139,6 +139,16 @@ class GroupedPallasAcEngine:
             return 0
         return sum(e.count_staged(st) for e in self.engines)
 
+    def contains_staged(self, st) -> bool:
+        """containsAny with a host-driven early exit across group passes —
+        the analogue of the reference's ``Done True`` fold early exit
+        (``AhoCorasick/Searcher.hs:156-164``) at group granularity."""
+        return any(e.contains_staged(st) for e in self.engines)
+
+    def contains(self, text: utf8.TextLike) -> bool:
+        st = self._stage(text)
+        return st is not None and self.contains_staged(st)
+
     def matches_arrays(self, text: utf8.TextLike) -> Tuple[np.ndarray, np.ndarray]:
         """(ends, value_ids) in reference emission order across all groups."""
         from .pallas_scan import _expand_outputs

@@ -492,12 +492,40 @@ def _native_lib():
     return _NATIVE_LIB
 
 
-def lower_transform(text: TextLike) -> LoweredText:
+_LOWER_EMAP = None
+
+
+def _lower_encode_map() -> np.ndarray:
+    """uint64 [0x10000]: per BMP code point, its LOWERED UTF-8 encoding —
+    output width in the top byte, encoded bytes little-endian below (the
+    branchless emit table of the native ``am_lower_bytes``).  Simple
+    lowercase maps BMP into BMP, so 3 encoded bytes always suffice."""
+    global _LOWER_EMAP
+    if _LOWER_EMAP is None:
+        low = LOWER_TABLE[:0x10000].astype(np.int64)
+        w = np.where(low < 0x80, 1, np.where(low < 0x800, 2, 3)).astype(np.int64)
+        b0 = np.where(
+            w == 1, low, np.where(w == 2, 0xC0 | (low >> 6), 0xE0 | (low >> 12))
+        )
+        b1 = np.where(
+            w == 1, 0, np.where(w == 2, 0x80 | (low & 0x3F), 0x80 | ((low >> 6) & 0x3F))
+        )
+        b2 = np.where(w == 3, 0x80 | (low & 0x3F), 0)
+        _LOWER_EMAP = ((w << 56) | b0 | (b1 << 8) | (b2 << 16)).astype(np.uint64)
+    return _LOWER_EMAP
+
+
+def lower_transform(text: TextLike, need_coords: bool = True) -> LoweredText:
     """Lowercase a UTF-8 byte stream, carrying raw coordinates.
 
     ASCII-only inputs take a pure byte-LUT fast path; otherwise the stream is
     decoded, mapped through the frozen simple-lowercase table, and re-encoded
     (byte lengths can shrink — İ 2B→i 1B — or grow — Ⱥ 2B→ⱥ 3B).
+
+    ``need_coords=False`` skips the per-code-point raw-coordinate arrays
+    (~3x the work and memory): counting and existence queries never map
+    positions back, and the coordinate arrays dominate the transducer's
+    cost on this host (fresh-page faults).
     """
     arr = to_u8(text)
     n = len(arr)
@@ -508,6 +536,27 @@ def lower_transform(text: TextLike) -> LoweredText:
             out = np.empty(n, dtype=np.uint8)
             lib.am_lower_ascii(arr_c.ctypes.data, n, out.ctypes.data)
             return LoweredText(lowered=out, identity=True)
+        if not need_coords:
+            cap = n + n // 2 + 16
+            emap = _lower_encode_map()
+            while True:
+                out = np.empty(cap, dtype=np.uint8)
+                out_nbytes = np.zeros(1, dtype=np.int64)
+                status = int(
+                    lib.am_lower_bytes(
+                        LOWER_TABLE.ctypes.data,
+                        emap.ctypes.data,
+                        arr_c.ctypes.data,
+                        n,
+                        out.ctypes.data,
+                        cap,
+                        out_nbytes.ctypes.data,
+                    )
+                )
+                if status == 0:
+                    break
+                cap = 4 * n + 16  # malformed input can exceed the 1.5x bound
+            return LoweredText(lowered=out[: int(out_nbytes[0])])
         cap = n + n // 2 + 8
         while True:
             out = np.empty(cap, dtype=np.uint8)

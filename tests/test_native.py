@@ -48,3 +48,21 @@ def test_empty():
     m = ac.build([(b"x", 0)])
     eng = CppAcEngine(m)
     assert eng.count(b"") == 0
+
+
+def test_lower_bytes_only_parity():
+    """Metadata-free transducer produces byte-identical lowered streams."""
+    from alfred_margaret_tpu.utils import utf8
+
+    rng = np.random.default_rng(4)
+    cases = [
+        "İstanbul STRASSE straße Ⱥx ǄǱ θΩ K Å".encode(),
+        b"plain ASCII with UPPER and lower 0123",
+        bytes(rng.integers(0, 256, size=4096, dtype=np.uint8).tolist()),  # malformed soup
+        "𝄞💩".encode() * 100 + b"\xc3" + b"tail",
+        b"",
+    ]
+    for raw in cases:
+        full = utf8.lower_transform(raw, need_coords=True)
+        fast = utf8.lower_transform(raw, need_coords=False)
+        assert bytes(fast.lowered) == bytes(full.lowered), raw[:20]

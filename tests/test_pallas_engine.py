@@ -194,6 +194,21 @@ class TestGroupedEngine:
             sub = ac.build([(m.needles[v], v) for v in vids])
             CompressedMachine.from_machine(sub, max_rows=4)
 
+    def test_grouped_contains(self):
+        rng = np.random.default_rng(2)
+        needles = [
+            bytes(rng.integers(97, 107, size=rng.integers(2, 7))) for _ in range(40)
+        ]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        g = self._grouped(m, max_rows=4)
+        assert g.n_groups > 1
+        # match from the LAST group only (early-exit must still find it)
+        last_needle = m.needles[g.groups[-1][0]]
+        hay = b"zzz" * 200 + last_needle + b"zzz" * 200
+        assert g.contains(hay)
+        assert not g.contains(b"zZ" * 500)
+        assert not g.contains(b"")
+
     def test_duplicates_share_group(self):
         from alfred_margaret_tpu.ops.grouped import partition_needles
 
