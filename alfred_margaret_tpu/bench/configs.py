@@ -92,6 +92,15 @@ def main(argv=None) -> int:
     except Exception as e:  # pragma: no cover
         parity = f"unavailable ({e})"
     t = _best(lambda: s100.count_matches(corpus2), rounds=2)
+    # Device-resident (staged) rate: the production serving pattern — the
+    # corpus is staged once and scanned repeatedly; one-shot scans pay the
+    # host->device transfer and auto-dispatch to the host C++ engine when
+    # the staging link is slow.
+    try:
+        sh = s100.stage(corpus2)
+        t_staged = _best(lambda: s100.count_matches(sh), rounds=3)
+    except Exception:
+        t_staged = t
     _emit(
         config=2,
         op="allMatches",
@@ -100,6 +109,7 @@ def main(argv=None) -> int:
         matches=len(got),
         count_seconds=round(t, 4),
         mb_per_sec=round(len(corpus2) / t / 1e6, 1),
+        staged_mb_per_sec=round(len(corpus2) / t_staged / 1e6, 1),
         parity=parity,
     )
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+import os
+
 import numpy as np
 
 from .models import ac
@@ -43,6 +45,14 @@ AUTO_PYTHON_THRESHOLD = 4096
 AUTO_DEVICE_THRESHOLD = 8 << 20
 
 _VALID_ENGINES = ("auto", "python", "xla", "pallas", "cpp")
+
+#: Lazily measured host->device staging bandwidth (see
+#: MatchEngine._staging_is_fast).
+_STAGING_BPS = None
+
+
+def _has_device(text) -> bool:
+    return isinstance(text, StagedHaystack) and text.device is not None
 
 
 @dataclass
@@ -147,7 +157,36 @@ class MatchEngine:
                 self._pallas_groups = 1 << 30
         return self._pallas_groups
 
-    def _pick(self, n_bytes: int) -> str:
+    def _staging_is_fast(self) -> bool:
+        """Measured host->device bandwidth class (once per process).
+
+        One-shot device scans must pay the corpus transfer; on a tunneled
+        relay that runs at ~60 MB/s (measured here), so host engines win
+        every one-shot scan regardless of size.  On a real TPU host PCIe
+        staging is multi-GB/s and the device wins past the size threshold.
+        Override with AMT_STAGING_MBPS.
+        """
+        global _STAGING_BPS
+        if _STAGING_BPS is None:
+            env = os.environ.get("AMT_STAGING_MBPS")
+            if env:
+                _STAGING_BPS = float(env) * 1e6
+            else:
+                import time
+
+                import jax
+
+                buf = np.zeros(8 << 20, dtype=np.uint8)
+                np.asarray(jax.device_put(buf)[:1])  # warm the path
+                t0 = time.perf_counter()
+                # Materialize one element: device_put completion without a
+                # full round-trip readback (block_until_ready is not
+                # trustworthy on the tunneled relay).
+                np.asarray(jax.device_put(buf)[:1])
+                _STAGING_BPS = len(buf) / (time.perf_counter() - t0)
+        return _STAGING_BPS >= 1e9
+
+    def _pick(self, n_bytes: int, staged: bool = False) -> str:
         if self.engine != "auto":
             return self.engine
         if n_bytes < AUTO_PYTHON_THRESHOLD:
@@ -156,15 +195,24 @@ class MatchEngine:
 
         if jax.default_backend() in ("tpu", "axon"):
             # The Pallas kernel dominates the XLA scan on real TPU hardware
-            # (~95 GB/s vs ~0.4 GB/s measured; experiments/tpu_xla_bigtable.py),
-            # but (a) per-launch overhead makes it a loss below ~1 MiB, and
-            # (b) its rate divides by the needle-group pass count for huge
-            # automata — in both regimes the host C++ engine wins.
+            # (~165 GB/s vs ~0.4 GB/s measured), but (a) per-launch overhead
+            # makes it a loss below ~1 MiB, (b) its rate divides by the
+            # needle-group pass count for huge automata, and (c) a one-shot
+            # scan pays the host->device corpus transfer, which on slow
+            # staging links loses to the host C++ engine at every size.
+            if staged and self._n_pallas_groups() <= self.AUTO_MAX_GROUPS:
+                return "pallas"
             if (
                 n_bytes >= AUTO_DEVICE_THRESHOLD
                 and self._n_pallas_groups() <= self.AUTO_MAX_GROUPS
             ):
-                return "pallas"
+                try:
+                    self._cpp_engine()
+                except Exception:
+                    return "pallas"
+                if self._staging_is_fast():
+                    return "pallas"
+                return "cpp"
             try:
                 self._cpp_engine()
                 return "cpp"
@@ -196,7 +244,7 @@ class MatchEngine:
         device framework wants the host->device staging amortized)."""
         data, lt = self._prep(text, case)
         staged = StagedHaystack(case=case, data=data, lowered=lt)
-        if self._pick(len(data)) == "pallas":
+        if self._pick(len(data), staged=True) == "pallas":
             eng = self._pallas_engine()
             if hasattr(eng, "stage"):
                 staged.device = eng.stage(data)
@@ -208,7 +256,7 @@ class MatchEngine:
 
     def count(self, text: utf8.TextLike, case: CaseSensitivity) -> int:
         data, _ = self._prep(text, case, need_coords=False)
-        backend = self._pick(len(data))
+        backend = self._pick(len(data), staged=_has_device(text))
         if backend == "python":
             # Scan the pre-lowered bytes case-sensitively: identical result.
             return ac.count_matches(self.machine, data, CASE_SENSITIVE)
@@ -235,7 +283,7 @@ class MatchEngine:
 
     def contains_any(self, text: utf8.TextLike, case: CaseSensitivity) -> bool:
         data, _ = self._prep(text, case, need_coords=False)
-        backend = self._pick(len(data))
+        backend = self._pick(len(data), staged=_has_device(text))
         if backend == "python":
             def first(_acc, _m):
                 return ac.Done(True)
@@ -265,7 +313,7 @@ class MatchEngine:
     def matches(self, text: utf8.TextLike, case: CaseSensitivity) -> MatchSet:
         """All matches with raw-coordinate end positions, emission order."""
         data, lt = self._prep(text, case)
-        backend = self._pick(len(data))
+        backend = self._pick(len(data), staged=_has_device(text))
         eng = None
         if backend == "pallas":
             eng = self._pallas_engine()
@@ -299,7 +347,7 @@ class MatchEngine:
         """bool [n_values]: which values have at least one match."""
         data, _ = self._prep(text, case, need_coords=False)
         m = self.machine
-        backend = self._pick(len(data))
+        backend = self._pick(len(data), staged=_has_device(text))
         if backend == "xla":
             hits = self._xla_engine().state_hits(data)
             hit_states = np.flatnonzero(hits)
