@@ -328,10 +328,14 @@ class MatchEngine:
                 if lt is not None and len(ends):
                     ends = lt.map_ends_to_raw(ends)
                 return MatchSet(ends=ends, value_ids=value_ids, lowered=lt)
+        if backend == "cpp":
+            # Hit-only native scan: no per-position state array round-trip.
+            ends, value_ids = self._cpp_engine().matches_arrays(data)
+            if lt is not None and len(ends):
+                ends = lt.map_ends_to_raw(ends)
+            return MatchSet(ends=ends, value_ids=value_ids, lowered=lt)
         if backend == "python":
             states = self._python_states(data)
-        elif backend == "cpp":
-            states = self._cpp_engine().final_states(data)
         elif backend == "pallas":
             states = eng.final_states(data)
         else:

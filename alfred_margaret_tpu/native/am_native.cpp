@@ -113,6 +113,52 @@ void am_scan_states_mt(const int32_t* delta, int32_t n_states,
   for (auto& th : threads) th.join();
 }
 
+// Hit-only scan: append (position one past the match end, state) for every
+// byte whose post-byte state has match_count > 0.  Skips materializing the
+// full per-position state array (matches are typically ~1% of positions) —
+// the hot path of the multi-pass Replacer.  Returns the total hit count;
+// writes min(total, cap) entries (caller retries with a bigger cap — the
+// thread-ordered concatenation keeps positions ascending).
+int64_t am_scan_hits_mt(const int32_t* delta, const int32_t* match_count,
+                        int32_t n_states, const uint8_t* data, int64_t n,
+                        int64_t overlap, int32_t n_threads, int64_t* out_pos,
+                        int32_t* out_state, int64_t cap) {
+  (void)n_states;
+  if (n_threads < 1) n_threads = 1;
+  if (n < (int64_t)n_threads * 4096) n_threads = 1;
+  std::vector<std::vector<std::pair<int64_t, int32_t>>> hits(n_threads);
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      int64_t emit_begin = (int64_t)t * chunk;
+      int64_t emit_end = emit_begin + chunk;
+      if (emit_end > n) emit_end = n;
+      if (emit_begin >= n) return;
+      int64_t start = emit_begin - overlap;
+      if (start < 0) start = 0;
+      int32_t state = 0;
+      auto& out = hits[t];
+      for (int64_t i = start; i < emit_end; i++) {
+        state = delta[(int64_t)state * 256 + data[i]];
+        if (i >= emit_begin && match_count[state] > 0)
+          out.emplace_back(i + 1, state);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  int64_t total = 0, o = 0;
+  for (auto& v : hits) total += (int64_t)v.size();
+  for (auto& v : hits)
+    for (auto& h : v) {
+      if (o >= cap) return total;
+      out_pos[o] = h.first;
+      out_state[o] = h.second;
+      o++;
+    }
+  return total;
+}
+
 // memcpy-bound baseline: XOR-reduce the input (reads every byte once).
 // Used by the benchmark harness to estimate the host memory roof.
 int64_t am_memscan_baseline(const uint8_t* data, int64_t n) {

@@ -98,6 +98,19 @@ def load() -> ctypes.CDLL:
             ctypes.c_int32,
             ctypes.c_void_p,
         ]
+        lib.am_scan_hits_mt.restype = ctypes.c_int64
+        lib.am_scan_hits_mt.argtypes = [
+            ctypes.c_void_p,  # delta
+            ctypes.c_void_p,  # match_count
+            ctypes.c_int32,  # n_states
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,  # n
+            ctypes.c_int64,  # overlap
+            ctypes.c_int32,  # n_threads
+            ctypes.c_void_p,  # out_pos
+            ctypes.c_void_p,  # out_state
+            ctypes.c_int64,  # cap
+        ]
         lib.am_memscan_baseline.restype = ctypes.c_int64
         lib.am_memscan_baseline.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.am_lower_transform.restype = ctypes.c_int64

@@ -64,6 +64,39 @@ class CppAcEngine:
         )
         return out
 
+    def matches_arrays(self, text: utf8.TextLike, n_threads: Optional[int] = None):
+        """(ends one past match, value_ids) in reference emission order —
+        hit-only native scan + CSR output expansion; never materializes the
+        full per-position state array."""
+        data = np.ascontiguousarray(utf8.to_u8(text))
+        if len(data) == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
+        nt = self.n_threads if n_threads is None else n_threads
+        cap = 4096
+        while True:
+            pos = np.empty(cap, dtype=np.int64)
+            st = np.empty(cap, dtype=np.int32)
+            total = int(
+                self.lib.am_scan_hits_mt(
+                    self.delta.ctypes.data,
+                    self.match_count.ctypes.data,
+                    self.machine.n_states,
+                    data.ctypes.data,
+                    len(data),
+                    self.overlap,
+                    nt,
+                    pos.ctypes.data,
+                    st.ctypes.data,
+                    cap,
+                )
+            )
+            if total <= cap:
+                break
+            cap = total + 16
+        from ..ops.xla_scan import expand_hits
+
+        return expand_hits(self.machine, pos[:total], st[:total])
+
     def memscan_baseline(self, text: utf8.TextLike) -> int:
         """XOR-reduce the input once: the host memory-bandwidth roof."""
         data = np.ascontiguousarray(utf8.to_u8(text))

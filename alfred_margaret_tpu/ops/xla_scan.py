@@ -316,6 +316,25 @@ class XlaAcEngine:
         return hits
 
 
+def expand_hits(
+    machine: AcMachine, ends: np.ndarray, hit_states: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Expand hit (end-position, state) pairs into (ends, value_ids) with
+    CSR (emission) order within a position — the scalar fold's ordering."""
+    if len(ends) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
+    hit_counts = machine.match_count[hit_states]
+    positions = np.repeat(np.asarray(ends, dtype=np.int64), hit_counts)
+    offs = machine.out_offset[hit_states]
+    total = int(hit_counts.sum())
+    base = np.repeat(offs, hit_counts)
+    ramp = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(hit_counts) - hit_counts, hit_counts
+    )
+    value_ids = machine.out_values[base + ramp]
+    return positions, value_ids
+
+
 def extract_matches(
     machine: AcMachine, states: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -328,18 +347,7 @@ def extract_matches(
     hit_pos = np.flatnonzero(counts)
     if len(hit_pos) == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
-    hit_states = states[hit_pos]
-    hit_counts = counts[hit_pos]
-    positions = np.repeat(hit_pos + 1, hit_counts)
-    # CSR expansion: for each hit, take out_values[out_offset[s] : +count]
-    offs = machine.out_offset[hit_states]
-    total = int(hit_counts.sum())
-    base = np.repeat(offs, hit_counts)
-    ramp = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(hit_counts) - hit_counts, hit_counts
-    )
-    value_ids = machine.out_values[base + ramp]
-    return positions, value_ids
+    return expand_hits(machine, hit_pos + 1, states[hit_pos])
 
 
 __all__ = [
@@ -349,4 +357,5 @@ __all__ = [
     "plan_streams",
     "build_streams",
     "extract_matches",
+    "expand_hits",
 ]

@@ -66,3 +66,21 @@ def test_lower_bytes_only_parity():
         full = utf8.lower_transform(raw, need_coords=True)
         fast = utf8.lower_transform(raw, need_coords=False)
         assert bytes(fast.lowered) == bytes(full.lowered), raw[:20]
+
+
+def test_hits_scan_parity():
+    """am_scan_hits_mt == extract_matches(final_states) on fuzz inputs,
+    single- and multi-threaded, incl. the cap-retry path."""
+    from alfred_margaret_tpu.native.cpp_engine import CppAcEngine
+    from alfred_margaret_tpu.ops.xla_scan import extract_matches
+
+    rng = np.random.default_rng(9)
+    needles = [bytes(rng.choice(list(b"abc"), size=rng.integers(1, 4))) for _ in range(6)]
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    eng = CppAcEngine(m)
+    hay = bytes(rng.choice(list(b"abcz"), size=200_000))
+    want = extract_matches(m, eng.final_states(hay))
+    for nt in (1, 4):
+        got = eng.matches_arrays(hay, n_threads=nt)
+        assert np.array_equal(got[0], want[0]) and np.array_equal(got[1], want[1])
+    assert eng.matches_arrays(b"")[0].shape == (0,)
