@@ -1,20 +1,20 @@
 """Test the gather-bound hypothesis: replace the classmap GATHER with an
-ALU compare chain ("runs" classifier) and keep only the table gather.
+ALU compare chain and keep only the table gather (1 gather/byte).
 
 The nomask experiment showed removing ALU ops changes nothing at ~112 GB/s,
-so the bound must be the 2 gathers/byte.  If true, 1 gather/byte should
-approach 2x.
+so the bound must be the 2 gathers/byte.
 
-Byte classes are relabeled as run-ranks: split 0..255 into maximal runs of
-constant class; rank(b) = sum_i [b >= start_i] computed with compares+adds
-(no gather); the flat table is re-indexed by (state, rank) — rank columns
-duplicate the shared class columns, so n_entries = n_states * n_runs.
-
-Variants:
-  base   production loop: classmap gather (fold) + table gather
-  runs   compare-chain rank + table gather        (1 gather/byte)
-  nocls  table gather with idx = sbase + (b & 7)  (WRONG counts; lower
-         bound showing pure 1-gather speed without the compare chain)
+Variants (results: base 105.0, wruns 150.8 COUNTS-MATCH, nocls 164.7 GB/s;
+wruns8 fails to compile — Mosaic rejects u8 vector ops):
+  base    production-style loop: classmap gather (fold) + table gather
+  wruns   telescoping weighted compare chain cls = cm[0] + sum d_i*[b>=s_i]
+          over classmap value boundaries; PRODUCTION table unchanged —
+          this is what shipped as `wpairs` in ops/pallas_scan.py
+  wruns8  the same chain in uint8 (4x element density idea) — dead end
+  runs    rank-indexed re-tabled variant (overflows one row for the
+          3-needle machine; kept for reference)
+  nocls   table gather with idx = sbase + (b & 7) (WRONG counts; pure
+          1-gather speed floor without any classifier)
 """
 import time
 
