@@ -177,72 +177,126 @@ int64_t am_memscan_baseline(const uint8_t* data, int64_t n) {
 // fallback, reading zero past the end), each decoded cp maps through
 // lower_map (int32[0x110000]) and re-encodes.
 //
-// Outputs: lowered bytes -> out (capacity out_cap); per-cp raw byte start
-// -> raw_start; per-cp raw byte length -> raw_len; per-cp output byte
-// length -> out_len.  Returns the cp count, or -1 if out_cap would
-// overflow.  *out_nbytes receives the lowered byte count.
-int64_t am_lower_transform(const int32_t* lower_map, const uint8_t* data,
-                           int64_t n, uint8_t* out, int64_t out_cap,
-                           int32_t* raw_start, int32_t* raw_len,
-                           int32_t* out_len, int64_t* out_nbytes) {
+// Outputs: lowered bytes -> out (capacity out_cap, must include >= 8
+// slack bytes); per-cp raw byte start -> raw_start; per-cp raw byte
+// length -> raw_len; per-cp output byte length -> out_len.  Returns the
+// cp count, or -1 if out_cap would overflow.  *out_nbytes receives the
+// lowered byte count.
+//
+// Same branchless structure as am_lower_bytes (alternating ASCII/UTF-8
+// corpora defeat the branch predictor of a switch-based decoder); the
+// per-cp metadata stores are unconditional with a masked cursor advance.
+int64_t am_lower_transform(const int32_t* lower_map, const uint64_t* emap,
+                           const uint8_t* data, int64_t n, uint8_t* out,
+                           int64_t out_cap, int32_t* raw_start,
+                           int32_t* raw_len, int32_t* out_len,
+                           int64_t* out_nbytes) {
   // Lead lengths match utf8._LEAD_LEN: 0x00-0x7F: 1; 0x80-0xBF: 0 (trail);
   // 0xC0-0xDF: 2; 0xE0-0xEF: 3; 0xF0-0xF8: 4; 0xF9-0xFF: 0.
-  auto lead_len = [](uint8_t b) -> int {
-    if (b < 0x80) return 1;
-    if (b < 0xC0) return 0;
-    if (b < 0xE0) return 2;
-    if (b < 0xF0) return 3;
-    if (b < 0xF9) return 4;
-    return 0;
-  };
+  static uint8_t lead_len[256], lead_mask[256];
+  static bool init_done = false;
+  if (!init_done) {
+    for (int b = 0; b < 256; b++) {
+      int l = (b < 0x80) ? 1 : (b < 0xC0) ? 0 : (b < 0xE0) ? 2
+              : (b < 0xF0) ? 3 : (b < 0xF9) ? 4 : 0;
+      lead_len[b] = (uint8_t)l;
+      lead_mask[b] = (l == 1) ? 0x7F : (l == 2) ? 0x1F : (l == 3) ? 0x0F : 0x07;
+    }
+    init_done = true;
+  }
   int64_t n_cps = 0;
   int64_t o = 0;
-  for (int64_t i = 0; i < n; i++) {
+  int64_t i = 0;
+  while (i < n) {
+    if (i + 64 <= n) {
+      uint64_t acc = 0;
+      uint64_t w[8];
+      memcpy(w, data + i, 64);
+      for (int t = 0; t < 8; t++) acc |= w[t];
+      if (!(acc & 0x8080808080808080ull)) {
+        if (o + 64 > out_cap) return -1;
+        for (int t = 0; t < 64; t++) {
+          uint8_t b = data[i + t];
+          out[o + t] = (uint8_t)(b + (((uint8_t)(b - 'A') < 26u) ? 0x20 : 0));
+          raw_start[n_cps + t] = (int32_t)(i + t);
+          raw_len[n_cps + t] = 1;
+          out_len[n_cps + t] = 1;
+        }
+        i += 64;
+        o += 64;
+        n_cps += 64;
+        continue;
+      }
+      // Branchless inner over the 64-byte window (stateless per-byte
+      // stepping; a 4-byte decode needs the window's last 8 bytes intact).
+      uint8_t buf[64];
+      memcpy(buf, data + i, 64);
+      int64_t base = i, stop = i + 56;
+      while (i < stop) {
+        uint32_t w4;
+        memcpy(&w4, buf + (i - base), 4);
+        uint8_t b0 = (uint8_t)w4;
+        uint32_t l = lead_len[b0];
+        uint32_t cp4 = ((uint32_t)(b0 & lead_mask[b0]) << 18) |
+                       ((w4 >> 8) & 0x3F) << 12 |
+                       ((w4 >> 16) & 0x3F) << 6 | ((w4 >> 24) & 0x3F);
+        uint32_t cp = cp4 >> (6 * (4 - (l | (l == 0))));
+        uint64_t e;
+        if (cp < 0x10000u) {
+          e = emap[cp];
+        } else {
+          uint32_t lc = (cp < 0x110000u) ? (uint32_t)lower_map[cp] : cp;
+          e = ((uint64_t)4 << 56) | (uint64_t)(0xF0 | (lc >> 18)) |
+              ((uint64_t)(0x80 | ((lc >> 12) & 0x3F)) << 8) |
+              ((uint64_t)(0x80 | ((lc >> 6) & 0x3F)) << 16) |
+              ((uint64_t)(0x80 | (lc & 0x3F)) << 24);
+        }
+        uint64_t live = (uint64_t)0 - (uint64_t)(l != 0);
+        e &= live;
+        if (o + 8 > out_cap) return -1;
+        memcpy(out + o, &e, 8);
+        int ol = (int)(e >> 56);
+        raw_start[n_cps] = (int32_t)i;
+        raw_len[n_cps] = (int32_t)l;
+        out_len[n_cps] = (int32_t)ol;
+        n_cps += (int64_t)(live & 1);
+        o += ol;
+        i += 1;
+      }
+      continue;
+    }
+    // Tail (< 64 bytes left): guarded scalar path.
     uint8_t b0 = data[i];
-    int l = lead_len(b0);
-    if (l == 0) continue;
+    uint32_t l = lead_len[b0];
+    if (l == 0) {
+      i++;
+      continue;
+    }
     uint32_t b1 = (i + 1 < n) ? (data[i + 1] & 0x3F) : 0;
     uint32_t b2 = (i + 2 < n) ? (data[i + 2] & 0x3F) : 0;
     uint32_t b3 = (i + 3 < n) ? (data[i + 3] & 0x3F) : 0;
-    uint32_t cp;
-    switch (l) {
-      case 1: cp = b0; break;
-      case 2: cp = ((uint32_t)(b0 & 0x1F) << 6) | b1; break;
-      case 3: cp = ((uint32_t)(b0 & 0x0F) << 12) | (b1 << 6) | b2; break;
-      default: cp = ((uint32_t)(b0 & 0x07) << 18) | (b1 << 12) | (b2 << 6) | b3; break;
+    uint32_t cp4 = ((uint32_t)(b0 & lead_mask[b0]) << 18) | (b1 << 12) |
+                   (b2 << 6) | b3;
+    uint32_t cp = cp4 >> (6 * (4 - l));
+    uint64_t e;
+    if (cp < 0x10000u) {
+      e = emap[cp];
+    } else {
+      uint32_t lc = (cp < 0x110000u) ? (uint32_t)lower_map[cp] : cp;
+      e = ((uint64_t)4 << 56) | (uint64_t)(0xF0 | (lc >> 18)) |
+          ((uint64_t)(0x80 | ((lc >> 12) & 0x3F)) << 8) |
+          ((uint64_t)(0x80 | ((lc >> 6) & 0x3F)) << 16) |
+          ((uint64_t)(0x80 | (lc & 0x3F)) << 24);
     }
-    if (cp < 0x110000u) cp = (uint32_t)lower_map[cp];
-    int ol;
-    if (cp < 0x80u) ol = 1;
-    else if (cp < 0x800u) ol = 2;
-    else if (cp < 0x10000u) ol = 3;
-    else ol = 4;
-    if (o + ol > out_cap) return -1;
-    switch (ol) {
-      case 1:
-        out[o] = (uint8_t)cp;
-        break;
-      case 2:
-        out[o] = (uint8_t)(0xC0 | (cp >> 6));
-        out[o + 1] = (uint8_t)(0x80 | (cp & 0x3F));
-        break;
-      case 3:
-        out[o] = (uint8_t)(0xE0 | (cp >> 12));
-        out[o + 1] = (uint8_t)(0x80 | ((cp >> 6) & 0x3F));
-        out[o + 2] = (uint8_t)(0x80 | (cp & 0x3F));
-        break;
-      default:
-        out[o] = (uint8_t)(0xF0 | (cp >> 18));
-        out[o + 1] = (uint8_t)(0x80 | ((cp >> 12) & 0x3F));
-        out[o + 2] = (uint8_t)(0x80 | ((cp >> 6) & 0x3F));
-        out[o + 3] = (uint8_t)(0x80 | (cp & 0x3F));
-        break;
-    }
+    int ol = (int)(e >> 56);
+    if (o + 8 > out_cap) return -1;
+    memcpy(out + o, &e, 8);
     raw_start[n_cps] = (int32_t)i;
     raw_len[n_cps] = (int32_t)l;
     out_len[n_cps] = (int32_t)ol;
     n_cps++;
     o += ol;
+    i += 1;
   }
   *out_nbytes = o;
   return n_cps;

@@ -116,6 +116,7 @@ def load() -> ctypes.CDLL:
         lib.am_lower_transform.restype = ctypes.c_int64
         lib.am_lower_transform.argtypes = [
             ctypes.c_void_p,  # lower_map
+            ctypes.c_void_p,  # emap (pre-encoded BMP lowered sequences)
             ctypes.c_void_p,  # data
             ctypes.c_int64,  # n
             ctypes.c_void_p,  # out

@@ -377,13 +377,15 @@ class LoweredText:
         *,
         identity: bool = False,
         out_lens: np.ndarray = None,
+        raw_len: np.ndarray = None,
     ):
         self.lowered = lowered
         self._identity = identity
         self._cp_index = cp_index
         self._raw_start = raw_start
         self._raw_end = raw_end
-        self._out_lens = out_lens  # int32 [n_cps] lowered byte length per cp
+        self._raw_len = raw_len  # [n_cps] raw byte length per cp (raw_end alt)
+        self._out_lens = out_lens  # [n_cps] lowered byte length per cp
         self._out_starts = None
 
     @property
@@ -410,8 +412,11 @@ class LoweredText:
 
     @property
     def raw_end(self) -> np.ndarray:
-        if self._raw_end is None and self._identity:
-            self._raw_end = np.arange(1, len(self.lowered) + 1, dtype=np.int32)
+        if self._raw_end is None:
+            if self._identity:
+                self._raw_end = np.arange(1, len(self.lowered) + 1, dtype=np.int32)
+            elif self._raw_len is not None:
+                self._raw_end = self._raw_start + self._raw_len
         return self._raw_end
 
     def _lowered_cp_starts(self) -> np.ndarray:
@@ -474,6 +479,23 @@ class LoweredText:
 
 _NATIVE_LIB = None
 _NATIVE_TRIED = False
+
+# Grow-only scratch buffers for the native transducer calls.  On this VM
+# glibc returns large freed blocks to the OS, so per-call np.empty pays
+# first-touch page faults at well under 1 GB/s — reusing scratch and
+# copying out exact-size results more than halves the faulted bytes.
+import threading as _threading
+
+_SCRATCH: dict = {}
+_SCRATCH_LOCK = _threading.Lock()
+
+
+def _scratch(key: str, size: int, dtype) -> np.ndarray:
+    buf = _SCRATCH.get(key)
+    if buf is None or len(buf) < size:
+        buf = np.empty(int(size * 5 // 4) + 16, dtype=dtype)
+        _SCRATCH[key] = buf
+    return buf
 
 
 def _native_lib():
@@ -539,58 +561,63 @@ def lower_transform(text: TextLike, need_coords: bool = True) -> LoweredText:
         if not need_coords:
             cap = n + n // 2 + 16
             emap = _lower_encode_map()
+            with _SCRATCH_LOCK:
+                while True:
+                    out = _scratch("lb_out", cap, np.uint8)
+                    out_nbytes = np.zeros(1, dtype=np.int64)
+                    status = int(
+                        lib.am_lower_bytes(
+                            LOWER_TABLE.ctypes.data,
+                            emap.ctypes.data,
+                            arr_c.ctypes.data,
+                            n,
+                            out.ctypes.data,
+                            cap,
+                            out_nbytes.ctypes.data,
+                        )
+                    )
+                    if status == 0:
+                        break
+                    cap = 4 * n + 16  # malformed input can exceed the 1.5x bound
+                return LoweredText(lowered=out[: int(out_nbytes[0])].copy())
+        cap = n + n // 2 + 16
+        with _SCRATCH_LOCK:
             while True:
-                out = np.empty(cap, dtype=np.uint8)
+                out = _scratch("lt_out", cap, np.uint8)
+                raw_start = _scratch("lt_rs", n, np.int32)
+                raw_len = _scratch("lt_rl", n, np.int32)
+                out_len = _scratch("lt_ol", n, np.int32)
                 out_nbytes = np.zeros(1, dtype=np.int64)
-                status = int(
-                    lib.am_lower_bytes(
+                n_cps = int(
+                    lib.am_lower_transform(
                         LOWER_TABLE.ctypes.data,
-                        emap.ctypes.data,
+                        _lower_encode_map().ctypes.data,
                         arr_c.ctypes.data,
                         n,
                         out.ctypes.data,
                         cap,
+                        raw_start.ctypes.data,
+                        raw_len.ctypes.data,
+                        out_len.ctypes.data,
                         out_nbytes.ctypes.data,
                     )
                 )
-                if status == 0:
+                if n_cps >= 0:
                     break
                 cap = 4 * n + 16  # malformed input can exceed the 1.5x bound
-            return LoweredText(lowered=out[: int(out_nbytes[0])])
-        cap = n + n // 2 + 8
-        while True:
-            out = np.empty(cap, dtype=np.uint8)
-            raw_start = np.empty(n, dtype=np.int32)
-            raw_len = np.empty(n, dtype=np.int32)
-            out_len = np.empty(n, dtype=np.int32)
-            out_nbytes = np.zeros(1, dtype=np.int64)
-            n_cps = int(
-                lib.am_lower_transform(
-                    LOWER_TABLE.ctypes.data,
-                    arr_c.ctypes.data,
-                    n,
-                    out.ctypes.data,
-                    cap,
-                    raw_start.ctypes.data,
-                    raw_len.ctypes.data,
-                    out_len.ctypes.data,
-                    out_nbytes.ctypes.data,
-                )
+            return LoweredText(
+                lowered=out[: int(out_nbytes[0])].copy(),
+                raw_start=raw_start[:n_cps].copy(),
+                raw_len=raw_len[:n_cps].astype(np.int8),
+                out_lens=out_len[:n_cps].astype(np.int8),
             )
-            if n_cps >= 0:
-                break
-            cap = 4 * n + 8  # malformed input can exceed the 1.5x bound
-        raw_start = raw_start[:n_cps]
-        return LoweredText(
-            lowered=out[: int(out_nbytes[0])],
-            raw_start=raw_start,
-            raw_end=(raw_start + raw_len[:n_cps]).astype(np.int32),
-            out_lens=out_len[:n_cps],
-        )
     if n == 0 or int(arr.max(initial=0)) < 0x80:
         return LoweredText(lowered=ASCII_LOWER_BYTES[arr.astype(np.int32)], identity=True)
     cps, starts, lens = decode_utf8_np(arr)
-    low_cps = LOWER_TABLE[cps]
+    # Malformed sequences can decode to pseudo code points >= 0x110000
+    # (stateless per-byte decoding); pass them through unlowered exactly
+    # like the native transducer's `cp < 0x110000` guard.
+    low_cps = np.where(cps < MAX_CP, LOWER_TABLE[np.minimum(cps, MAX_CP - 1)], cps)
     lowered, out_lens = encode_utf8_np(low_cps)
     return LoweredText(
         lowered=lowered,

@@ -175,3 +175,22 @@ class TestLowerTransform:
         assert lt.match_raw_end(1) == 2  # after 'i' -> after İ's 2 raw bytes
         assert lt.match_raw_end(2) == 3  # after 'x'
         assert lt.match_raw_end(5) == 5  # after ⱥ -> İ(2)+x(1)+Ⱥ(2)
+
+
+def test_numpy_fallback_malformed_parity():
+    """The pure-numpy transducer fallback must survive malformed input
+    (pseudo code points >= 0x110000) and agree with the native path."""
+    import numpy as np
+
+    from alfred_margaret_tpu.utils import utf8
+
+    rng = np.random.default_rng(12)
+    soup = bytes(rng.integers(0, 256, size=65536, dtype=np.uint8).tolist())
+    native = utf8.lower_transform(soup)
+    arr = np.frombuffer(soup, dtype=np.uint8)
+    cps, starts, lens = utf8.decode_utf8_np(arr)
+    low_cps = np.where(
+        cps < utf8.MAX_CP, utf8.LOWER_TABLE[np.minimum(cps, utf8.MAX_CP - 1)], cps
+    )
+    lowered_np, _ = utf8.encode_utf8_np(low_cps)
+    assert bytes(native.lowered) == bytes(lowered_np)
