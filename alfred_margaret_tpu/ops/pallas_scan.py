@@ -377,6 +377,13 @@ class _StickyView:
         d2[n] = n
         self.delta = d2
         self.match_count = np.zeros(n + 1, dtype=np.int32)
+        # Failure links (used only as default-row candidates by the comb
+        # engine's build; the absorbing state nominally fails to root).
+        self.fail = (
+            np.concatenate([machine.fail, np.zeros(1, machine.fail.dtype)])
+            if machine.fail is not None
+            else None
+        )
 
 
 def _make_contains_kernel(
@@ -576,6 +583,9 @@ class PallasAcEngine:
         self._states_fn = {}
         self.max_rows = max_rows
         self._contains_state: Optional[dict] = None  # lazy sticky machinery
+        # Count field position in emitted packed values (subclasses with a
+        # different packing override this and ``_pk_states``).
+        self._count_shift = self.comp.state_bits
 
     # -- layout ------------------------------------------------------------
 
@@ -837,12 +847,20 @@ class PallasAcEngine:
             return False
         return self.contains_staged(self.stage(data), reps)
 
+    def _states_call(self, st: "StagedStreams"):
+        """Device array of packed per-position values (kernel-layout specific)."""
+        fn = self._get_states_fn(st.plan.time_len)
+        return fn(self._classmap_dev, self._table_dev, st.streams_dev)
+
+    def _pk_states(self, pk_np: np.ndarray) -> np.ndarray:
+        """Recover entered-state ids from emitted packed values (host side)."""
+        return (pk_np & self.comp.state_mask) // self.comp.k
+
     def final_states_staged(self, st: StagedStreams) -> np.ndarray:
         plan, warm = st.plan, st.warm_np
         n = plan.n
-        fn = self._get_states_fn(plan.time_len)
-        packed_ts = np.asarray(fn(self._classmap_dev, self._table_dev, st.streams_dev))
-        states_ts = (packed_ts & self.comp.state_mask) // self.comp.k
+        packed_ts = np.asarray(self._states_call(st))
+        states_ts = self._pk_states(packed_ts)
         out = np.empty(n, dtype=np.int32)
         L = plan.emit_len
         for i in range(plan.n_streams):
@@ -866,7 +884,7 @@ class PallasAcEngine:
         if key not in self._count_fn:
             S = self.S
 
-            state_bits = self.comp.state_bits
+            state_bits = self._count_shift
 
             @jax.jit
             def ex(packed_ts, warm_s, vend_s, L):
@@ -898,8 +916,7 @@ class PallasAcEngine:
         from above on the first try).
         """
         plan = st.plan
-        fn = self._get_states_fn(plan.time_len)
-        packed = fn(self._classmap_dev, self._table_dev, st.streams_dev)
+        packed = self._states_call(st)
         warm_s = jnp.asarray(st.warm_np)
         vend_s = st.vend_t.reshape(-1)
         cap = 1 << max(12, int(np.ceil(np.log2(self.count_staged(st) + 64))))
@@ -913,7 +930,7 @@ class PallasAcEngine:
             cap = 1 << int(np.ceil(np.log2(n + 1)))
         pos = np.asarray(pos[:n], dtype=np.int64)
         pk = np.asarray(pk[:n])
-        states = ((pk & self.comp.state_mask) // self.comp.k).astype(np.int64)
+        states = self._pk_states(pk).astype(np.int64)
         order = np.argsort(pos, kind="stable")
         return pos[order], states[order]
 
