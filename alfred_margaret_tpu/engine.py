@@ -129,10 +129,13 @@ class MatchEngine:
                 # Mosaic kernels need TPU hardware; honor the documented
                 # fallback instead of erroring on CPU-only hosts.
                 return self._xla_engine()
-            from .ops.pallas_scan import CapacityError, PallasAcEngine
+            from .ops.comb_scan import make_pallas_engine
+            from .ops.pallas_scan import CapacityError
 
             try:
-                self._pallas = PallasAcEngine(self.machine)
+                # Cheaper of the dense select-chain and comb-compressed
+                # kernels for single-pass machines.
+                self._pallas = make_pallas_engine(self.machine)
             except CapacityError:
                 # Automaton too big for one VMEM table: needle-grouped
                 # multi-pass kernel (ops.grouped).
@@ -148,11 +151,11 @@ class MatchEngine:
 
     def _n_pallas_groups(self) -> int:
         if not hasattr(self, "_pallas_groups"):
-            from .ops.grouped import partition_needles
+            from .ops.grouped import partition_adaptive
             from .ops.pallas_scan import CapacityError
 
             try:
-                self._pallas_groups = len(partition_needles(self.machine))
+                self._pallas_groups = len(partition_adaptive(self.machine))
             except CapacityError:
                 self._pallas_groups = 1 << 30
         return self._pallas_groups

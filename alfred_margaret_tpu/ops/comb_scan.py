@@ -201,7 +201,13 @@ def comb_structure_cost(
     for D in ds:
         D = min(D, len(cand))
         exc = int(run_min[:, D - 1].sum(dtype=np.int64))
-        rows_c = max(1, -(-int(exc * overhead) // 128))
+        # Physical positions serve double duty (one base AND one exception
+        # slot each), so capacity is bounded by the larger of the two
+        # demands — exception count, and the number of states needing a
+        # unique in-range base (placement achieves ~0.85 density on both).
+        s_exc = int((run_min[:, D - 1] > 0).sum())
+        need = max(int(exc * overhead), int(s_exc * 1.15))
+        rows_c = max(1, -(-need // 128))
         rows_d = -(-D * k // 128)
         results.append((rows_c + rows_d, D, exc))
     results.sort()
@@ -794,9 +800,62 @@ class CombPallasAcEngine(PallasAcEngine):
         return self.comb.inv_base[pk_np & BASE_MASK]
 
 
+def plan_pallas(machine, max_rows: int = MAX_ROWS):
+    """Choose the cheaper single-pass representation for ``machine``.
+
+    Returns ``("dense", rows)`` or ``("comb", rows_total)``; raises
+    :class:`CapacityError` when neither fits ``max_rows`` physical rows
+    (callers go to the needle-grouped multi-pass engine).  Dense wins ties
+    (its per-row select is a hair cheaper than the comb owner check).
+    """
+    from .pallas_scan import CompressedMachine
+
+    dense_rows = None
+    try:
+        dense_rows = CompressedMachine.from_machine(machine, max_rows).rows
+    except CapacityError:
+        pass
+    comb_rows = None
+    if (
+        machine.delta.shape[0] < (1 << BASE_BITS) - 64
+        and int(np.asarray(machine.match_count).max(initial=0)) <= MAX_COUNT
+    ):
+        try:
+            rt, _, _ = comb_structure_cost(machine, max_rows=max_rows)
+            if rt <= max_rows:
+                comb_rows = rt
+        except CapacityError:
+            pass
+    if dense_rows is not None and (comb_rows is None or dense_rows <= comb_rows + 1):
+        return "dense", dense_rows
+    if comb_rows is not None:
+        return "comb", comb_rows
+    raise CapacityError(
+        f"automaton ({machine.delta.shape[0]} states) fits neither dense nor "
+        f"comb within {max_rows} rows"
+    )
+
+
+def make_pallas_engine(machine: AcMachine, max_rows: int = MAX_ROWS, **kw):
+    """Build the cheaper of the dense / comb Pallas engines for ``machine``.
+
+    The comb structure-cost estimate carries a placement-overhead guess; if
+    actual placement overflows, falls back to dense when that fits at all.
+    """
+    kind, _ = plan_pallas(machine, max_rows)
+    if kind == "comb":
+        try:
+            return CombPallasAcEngine(machine, max_rows=max_rows, **kw)
+        except CapacityError:
+            return PallasAcEngine(machine, max_rows=max_rows, **kw)
+    return PallasAcEngine(machine, max_rows=max_rows, **kw)
+
+
 __all__ = [
     "CombMachine",
     "CombPallasAcEngine",
     "build_comb",
     "comb_structure_cost",
+    "make_pallas_engine",
+    "plan_pallas",
 ]

@@ -98,30 +98,136 @@ def partition_needles(machine: ac.AcMachine, max_rows: int = MAX_ROWS) -> List[L
     return groups
 
 
+def partition_adaptive(machine: ac.AcMachine, max_rows: int = MAX_ROWS) -> List[List[int]]:
+    """Group needles by *exact* sub-machine structure cost, dense or comb.
+
+    The entry-bound partitioner above is safe but very conservative: the
+    comb representation (``ops.comb_scan``) fits 10-30x more states in the
+    same row budget, so sizing groups against ``min(dense, comb)`` cost
+    turns a ~100-pass machine into a handful of passes.  Group sizes are
+    found by exponential growth + bisection on trial ``ac.build`` +
+    structure-cost evaluations (construction stays offline/cheap, matching
+    the reference's stance that build time is negligible,
+    ``Automaton.hs:24-28``).
+    """
+    from .comb_scan import plan_pallas
+
+    first: dict = {}
+    uniq: List[Tuple[bytes, List[int]]] = []
+    for vid, needle in enumerate(machine.needles):
+        j = first.get(needle)
+        if j is None:
+            first[needle] = len(uniq)
+            uniq.append((needle, [vid]))
+        else:
+            uniq[j][1].append(vid)
+    N = len(uniq)
+
+    def fits(i: int, g: int) -> bool:
+        sub = ac.build([(uniq[i + j][0], 0) for j in range(g)])
+        try:
+            plan_pallas(sub, max_rows)
+            return True
+        except CapacityError:
+            return False
+
+    groups: List[List[int]] = []
+    i = 0
+    while i < N:
+        lo, g = 0, min(64, N - i)
+        hi = None
+        while hi is None:
+            if fits(i, g):
+                lo = g
+                if g == N - i:
+                    break
+                g = min(g * 2, N - i)
+            else:
+                hi = g
+        if hi is not None:
+            while hi - lo > 1:
+                mid = (lo + hi) // 2
+                if fits(i, mid):
+                    lo = mid
+                else:
+                    hi = mid
+        if lo == 0:
+            raise CapacityError(
+                f"needle {uniq[i][0]!r} alone exceeds the {max_rows}-row budget"
+            )
+        groups.append([v for _, vids in uniq[i : i + lo] for v in vids])
+        i += lo
+    return groups
+
+
 class GroupedPallasAcEngine:
     """Multi-pass engine: one Pallas scan per needle group.
 
     Exposes the same count/match surface the dispatcher needs; match
     extraction happens internally (per-group states cannot be merged, only
-    the extracted matches can).
+    the extracted matches can).  Each group runs the cheaper of the dense /
+    comb kernels (``ops.comb_scan.make_pallas_engine``).
     """
 
-    def __init__(self, machine: ac.AcMachine, max_rows: int = MAX_ROWS, **pallas_kw):
+    def __init__(
+        self,
+        machine: ac.AcMachine,
+        max_rows: int = MAX_ROWS,
+        partition: str = "adaptive",
+        **pallas_kw,
+    ):
+        from .comb_scan import make_pallas_engine
+
         self.machine = machine
-        self.groups = partition_needles(machine, max_rows)
+        if partition == "adaptive":
+            groups = partition_adaptive(machine, max_rows)
+        elif partition == "entry":
+            groups = partition_needles(machine, max_rows)
+        else:
+            raise ValueError(f"unknown partition scheme {partition!r}")
+        self.groups: List[List[int]] = []
         self.engines: List[PallasAcEngine] = []
         self.vid_maps: List[np.ndarray] = []
         # All sub-engines share the FULL machine's overlap so one staged
         # stream layout serves every group pass (staging dominates
         # multi-pass cost otherwise).
         overlap = max(0, machine.max_needle_bytes - 1)
-        for vids in self.groups:
+
+        def add_group(vids: List[int]):
+            # The adaptive partitioner scores unique value-less needles; the
+            # real group (payload merge, placement) can still overflow in
+            # rare corners — split and retry preserves correctness.
             pairs = [(machine.needles[v], machine.values[v]) for v in vids]
             sub = ac.build(pairs)
-            self.engines.append(
-                PallasAcEngine(sub, max_rows=max_rows, overlap=overlap, **pallas_kw)
-            )
+            try:
+                eng = make_pallas_engine(
+                    sub, max_rows=max_rows, overlap=overlap, **pallas_kw
+                )
+            except CapacityError:
+                if len(vids) == 1:
+                    raise
+                # Split on first-occurrence boundaries so duplicates stay
+                # together (they are adjacent in the vid list only within
+                # one needle; regroup by needle identity).
+                seen: dict = {}
+                per_needle: List[List[int]] = []
+                for v in vids:
+                    n = machine.needles[v]
+                    if n in seen:
+                        per_needle[seen[n]].append(v)
+                    else:
+                        seen[n] = len(per_needle)
+                        per_needle.append([v])
+                mid = max(1, len(per_needle) // 2)
+                add_group([v for g in per_needle[:mid] for v in g])
+                add_group([v for g in per_needle[mid:] for v in g])
+                return
+            self.groups.append(vids)
+            self.engines.append(eng)
             self.vid_maps.append(np.asarray(vids, dtype=np.int64))
+
+        for vids in groups:
+            add_group(vids)
 
     def _stage(self, text: utf8.TextLike):
         data = utf8.to_u8(text)
@@ -186,4 +292,4 @@ class GroupedPallasAcEngine:
         return present
 
 
-__all__ = ["GroupedPallasAcEngine", "partition_needles"]
+__all__ = ["GroupedPallasAcEngine", "partition_adaptive", "partition_needles"]

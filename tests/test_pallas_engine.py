@@ -168,11 +168,17 @@ class TestPallasInterpretParity:
 class TestGroupedEngine:
     """Needle-grouped multi-pass engine (ops.grouped) parity, interpret mode."""
 
-    def _grouped(self, m, max_rows):
+    def _grouped(self, m, max_rows, partition="entry"):
         from alfred_margaret_tpu.ops.grouped import GroupedPallasAcEngine
 
         return GroupedPallasAcEngine(
-            m, max_rows=max_rows, n_streams=256, t_tile=64, interpret=True, unroll=4
+            m,
+            max_rows=max_rows,
+            partition=partition,
+            n_streams=256,
+            t_tile=64,
+            interpret=True,
+            unroll=4,
         )
 
     def test_partition_bounds(self):
@@ -265,3 +271,116 @@ class TestDeviceExtraction:
         assert len(ends) == 0
         ends, vids = eng.matches_arrays(b"abcabc" * 100)
         assert len(ends) == 0
+
+
+class TestCombEngine:
+    """Row-displacement comb engine (ops.comb_scan): build verification is
+    exhaustive inside ``build_comb``; these cover the kernels (interpret
+    mode), the dense/comb planner, and the adaptive partitioner."""
+
+    def _mid_machine(self, n=60, seed=4, alpha=(97, 107)):
+        rng = np.random.default_rng(seed)
+        needles = list(
+            dict.fromkeys(
+                bytes(rng.integers(*alpha, size=rng.integers(2, 7), dtype=np.uint8)) for _ in range(n * 2)
+            )
+        )[:n]
+        return ac.build([(nd, i) for i, nd in enumerate(needles)]), rng
+
+    def _comb_engine(self, m):
+        from alfred_margaret_tpu.ops.comb_scan import CombPallasAcEngine
+
+        return CombPallasAcEngine(m, n_streams=256, t_tile=64, interpret=True, unroll=4)
+
+    def test_count_contains_matches_parity(self):
+        m, rng = self._mid_machine()
+        eng = self._comb_engine(m)
+        hay = bytes(rng.integers(97, 107, size=6000, dtype=np.uint8))
+        oracle = ac.all_matches(m, hay)
+        assert eng.count(hay) == len(oracle)
+        assert eng.contains(hay) == (len(oracle) > 0)
+        assert not eng.contains(bytes(rng.integers(108, 120, size=2000, dtype=np.uint8)))
+        ends, vids = eng.matches_arrays(hay)
+        assert [(int(e), int(v)) for e, v in zip(ends, vids)] == [
+            (mt.pos, mt.value) for mt in oracle
+        ]
+
+    def test_non_ascii_needles(self):
+        # High bytes exercise the unfolded classmap path + owner checks.
+        needles = ["café", "straße", "naïve", "née"]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        eng = self._comb_engine(m)
+        hay = ("un café, deux cafés, straße naïve née café " * 30).encode()
+        assert eng.count(hay) == ac.count_matches(m, hay)
+
+    def test_planner_prefers_dense_small(self):
+        from alfred_margaret_tpu.ops.comb_scan import plan_pallas
+
+        m = ac.build([(n, i) for i, n in enumerate(["tshirt", "shirts", "shorts"])])
+        kind, rows = plan_pallas(m)
+        assert kind == "dense" and rows == 1
+
+    def test_planner_prefers_comb_midtier(self):
+        from alfred_margaret_tpu.ops.comb_scan import plan_pallas
+        from alfred_margaret_tpu.ops.pallas_scan import CompressedMachine
+
+        rng = np.random.default_rng(9)
+        needles = list(
+            dict.fromkeys(
+                bytes(rng.integers(97, 123, size=rng.integers(4, 11), dtype=np.uint8))
+                for _ in range(250)
+            )
+        )[:100]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        kind, rows = plan_pallas(m)
+        assert kind == "comb"
+        with pytest.raises(CapacityError):
+            CompressedMachine.from_machine(m)  # dense cannot even fit
+
+    def test_adaptive_partition_covers_all_vids(self):
+        from alfred_margaret_tpu.ops.grouped import partition_adaptive
+
+        rng = np.random.default_rng(1)
+        needles = [
+            bytes(rng.integers(97, 107, size=rng.integers(2, 7), dtype=np.uint8)) for _ in range(80)
+        ]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        groups = partition_adaptive(m, max_rows=4)
+        flat = sorted(v for g in groups for v in g)
+        assert flat == list(range(len(needles)))
+
+    def test_adaptive_duplicates_share_group(self):
+        from alfred_margaret_tpu.ops.grouped import partition_adaptive
+
+        needles = [b"abc", b"xyz", b"abc", b"qqq", b"abc"]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        by_vid = {
+            v: gi
+            for gi, g in enumerate(partition_adaptive(m, max_rows=1))
+            for v in g
+        }
+        assert by_vid[0] == by_vid[2] == by_vid[4]
+
+    def test_grouped_adaptive_parity(self):
+        from alfred_margaret_tpu.ops.grouped import GroupedPallasAcEngine
+
+        rng = np.random.default_rng(6)
+        needles = list(
+            dict.fromkeys(
+                bytes(rng.integers(97, 103, size=rng.integers(2, 5), dtype=np.uint8)) for _ in range(200)
+            )
+        )[:90]
+        pairs = [(n, i) for i, n in enumerate(needles)]
+        m = ac.build(pairs)
+        eng = GroupedPallasAcEngine(
+            m, max_rows=2, partition="adaptive", n_streams=256, t_tile=64,
+            interpret=True, unroll=4,
+        )
+        assert eng.n_groups > 1
+        hay = bytes(rng.integers(97, 103, size=4000))
+        oracle = ac.all_matches(m, hay)
+        assert eng.count(hay) == len(oracle)
+        ends, vids = eng.matches_arrays(hay)
+        assert [(int(e), int(v)) for e, v in zip(ends, vids)] == [
+            (mt.pos, mt.value) for mt in oracle
+        ]
