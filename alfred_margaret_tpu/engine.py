@@ -144,21 +144,32 @@ class MatchEngine:
                 self._pallas = GroupedPallasAcEngine(self.machine)
         return self._pallas
 
-    #: Under "auto", automata needing more than this many needle-group
-    #: passes run on the multithreaded C++ engine instead — the per-pass
-    #: Pallas rate divided by the group count drops below host speed there.
-    AUTO_MAX_GROUPS = 32
+    #: Under "auto", automata whose group passes sum to more than this many
+    #: physical table rows run on the multithreaded C++ engine instead: the
+    #: kernel's sustained rate is ~165/rows GB/s per pass (gather-bound
+    #: select chain), so past ~200 summed rows the device drops below the
+    #: ~0.8 GB/s multithreaded host engine.
+    AUTO_MAX_TOTAL_ROWS = 200
 
-    def _n_pallas_groups(self) -> int:
-        if not hasattr(self, "_pallas_groups"):
+    def _pallas_total_rows(self) -> int:
+        """Summed physical rows across the adaptive group plan (1 group for
+        machines that fit a single pass); effectively infinite when even
+        grouping cannot fit (giant single needles)."""
+        if not hasattr(self, "_pallas_rows"):
+            from .ops.comb_scan import plan_pallas
             from .ops.grouped import partition_adaptive
             from .ops.pallas_scan import CapacityError
 
             try:
-                self._pallas_groups = len(partition_adaptive(self.machine))
+                _, rows = plan_pallas(self.machine)
+                self._pallas_rows = rows
             except CapacityError:
-                self._pallas_groups = 1 << 30
-        return self._pallas_groups
+                try:
+                    _, group_rows = partition_adaptive(self.machine, with_rows=True)
+                    self._pallas_rows = sum(group_rows)
+                except CapacityError:
+                    self._pallas_rows = 1 << 30
+        return self._pallas_rows
 
     def _staging_is_fast(self) -> bool:
         """Measured host->device bandwidth class (once per process).
@@ -203,11 +214,11 @@ class MatchEngine:
             # needle-group pass count for huge automata, and (c) a one-shot
             # scan pays the host->device corpus transfer, which on slow
             # staging links loses to the host C++ engine at every size.
-            if staged and self._n_pallas_groups() <= self.AUTO_MAX_GROUPS:
+            if staged and self._pallas_total_rows() <= self.AUTO_MAX_TOTAL_ROWS:
                 return "pallas"
             if (
                 n_bytes >= AUTO_DEVICE_THRESHOLD
-                and self._n_pallas_groups() <= self.AUTO_MAX_GROUPS
+                and self._pallas_total_rows() <= self.AUTO_MAX_TOTAL_ROWS
             ):
                 try:
                     self._cpp_engine()
@@ -220,7 +231,7 @@ class MatchEngine:
                 self._cpp_engine()
                 return "cpp"
             except Exception:
-                return "pallas" if self._n_pallas_groups() < (1 << 30) else "xla"
+                return "pallas" if self._pallas_total_rows() < (1 << 30) else "xla"
         return "xla"
 
     # -- prep --------------------------------------------------------------

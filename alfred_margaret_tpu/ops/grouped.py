@@ -98,7 +98,9 @@ def partition_needles(machine: ac.AcMachine, max_rows: int = MAX_ROWS) -> List[L
     return groups
 
 
-def partition_adaptive(machine: ac.AcMachine, max_rows: int = MAX_ROWS) -> List[List[int]]:
+def partition_adaptive(
+    machine: ac.AcMachine, max_rows: int = MAX_ROWS, with_rows: bool = False
+):
     """Group needles by *exact* sub-machine structure cost, dense or comb.
 
     The entry-bound partitioner above is safe but very conservative: the
@@ -123,15 +125,18 @@ def partition_adaptive(machine: ac.AcMachine, max_rows: int = MAX_ROWS) -> List[
             uniq[j][1].append(vid)
     N = len(uniq)
 
+    rows_of: dict = {}
+
     def fits(i: int, g: int) -> bool:
         sub = ac.build([(uniq[i + j][0], 0) for j in range(g)])
         try:
-            plan_pallas(sub, max_rows)
+            _, rows_of[i, g] = plan_pallas(sub, max_rows)
             return True
         except CapacityError:
             return False
 
     groups: List[List[int]] = []
+    group_rows: List[int] = []
     i = 0
     while i < N:
         lo, g = 0, min(64, N - i)
@@ -156,7 +161,10 @@ def partition_adaptive(machine: ac.AcMachine, max_rows: int = MAX_ROWS) -> List[
                 f"needle {uniq[i][0]!r} alone exceeds the {max_rows}-row budget"
             )
         groups.append([v for _, vids in uniq[i : i + lo] for v in vids])
+        group_rows.append(rows_of[i, lo])
         i += lo
+    if with_rows:
+        return groups, group_rows
     return groups
 
 
@@ -239,11 +247,24 @@ class GroupedPallasAcEngine:
     def n_groups(self) -> int:
         return len(self.engines)
 
+    @property
+    def total_rows(self) -> int:
+        """Summed physical table rows across group passes — the effective
+        device rate is ~KERNEL_ROW_RATE / total_rows."""
+
+        def rows(e):
+            return e.comb.rows_total if hasattr(e, "comb") else e.comp.rows
+
+        return sum(rows(e) for e in self.engines)
+
+    def count_staged(self, st, reps: int = 1) -> int:
+        return sum(e.count_staged(st, reps) for e in self.engines)
+
     def count(self, text: utf8.TextLike) -> int:
         st = self._stage(text)
         if st is None:
             return 0
-        return sum(e.count_staged(st) for e in self.engines)
+        return self.count_staged(st)
 
     def contains_staged(self, st) -> bool:
         """containsAny with a host-driven early exit across group passes —

@@ -60,7 +60,20 @@ def main():
         print(f"== {n_needles} needles: states={machine.n_states} expected={expected}",
               flush=True)
 
-        cm = build_comb(machine)
+        try:
+            cm = build_comb(machine)
+        except CapacityError as e:
+            # Doesn't fit one pass: adaptive needle-grouped multi-pass.
+            from alfred_margaret_tpu.ops.grouped import GroupedPallasAcEngine
+
+            g = GroupedPallasAcEngine(machine)
+            print(f"  grouped: {g.n_groups} passes, total_rows={g.total_rows}",
+                  flush=True)
+            st = g.engines[0].stage(data)
+            gbs, reps, got = sustained(g, st, len(data))
+            assert got == expected, (got, expected)
+            print(f"  GROUPED {n_needles}: {gbs:.2f} GB/s (reps={reps})", flush=True)
+            continue
         print(f"  comb: rows_c={cm.rows_c} rows_d={cm.rows_d} D={cm.D} "
               f"k={cm.k} exc={cm.n_exceptions}", flush=True)
         eng_c = CombPallasAcEngine(machine, comb=cm)
