@@ -327,20 +327,38 @@ def run_with_case(
     out_offset = machine.out_offset
     out_values = machine.out_values
     values = machine.values
-    lower = case is IGNORE_CASE
     state = 0
     offset = 0
     n = len(data)
-    while offset < n:
-        n_units, cp = utf8.decode_code_point(data, offset)
-        offset += n_units
-        if lower:
-            cp = int(utf8.LOWER_TABLE[cp])
-            for b in utf8.unicode2utf8(cp):
+    if case is IGNORE_CASE:
+        # Strict streaming lowering (utf8.decode_strict): valid minimal
+        # sequences lower per code point, everything else passes through
+        # byte-for-byte — identical to every other IgnoreCase
+        # implementation (transducers, composed case-folding DFA).  Match
+        # positions are raw byte offsets one past the unit containing the
+        # match end (the reference's code-unit-granular matchPos,
+        # Automaton.hs:99-102).
+        while offset < n:
+            n_units, cp, valid = utf8.decode_strict(data, offset)
+            offset += n_units
+            emit = utf8.unicode2utf8(int(utf8.LOWER_TABLE[cp])) if valid else (cp,)
+            for b in emit:
                 state = delta[state, b]
-        else:
-            for i in range(offset - n_units, offset):
-                state = delta[state, data[i]]
+                lo, hi = out_offset[state], out_offset[state + 1]
+                for k in range(lo, hi):
+                    nxt = f(seed, Match(offset, values[out_values[k]]))
+                    if isinstance(nxt, Done):
+                        return nxt.acc
+                    seed = nxt.acc if isinstance(nxt, Step) else nxt
+        return seed
+    # CaseSensitive: plain per-byte fold — the alphabet of this build is
+    # bytes, so matches are collected after every byte (the reference
+    # collects per code point, Automaton.hs:468-534; identical on needles
+    # that are whole-code-point strings, and byte-granular — matching the
+    # vectorized engines — on arbitrary byte needles).
+    while offset < n:
+        state = delta[state, data[offset]]
+        offset += 1
         lo, hi = out_offset[state], out_offset[state + 1]
         for k in range(lo, hi):
             nxt = f(seed, Match(offset, values[out_values[k]]))

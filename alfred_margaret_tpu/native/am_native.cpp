@@ -170,40 +170,91 @@ int64_t am_memscan_baseline(const uint8_t* data, int64_t n) {
   return (int64_t)acc;
 }
 
+// Strict streaming decode at data[i]: returns the sequence length (1-4)
+// and writes the scalar value, or -1 when data[i] does not start a valid
+// minimal sequence (overlong / surrogate / > U+10FFFF / truncated /
+// orphan continuation).  Must match utf8.decode_strict exactly — this one
+// definition governs every IgnoreCase implementation (scalar oracle,
+// vectorized + native transducers, composed case-folding DFA).
+static inline int strict_decode(const uint8_t* d, int64_t i, int64_t n,
+                                uint32_t* cp) {
+  uint8_t b0 = d[i];
+  if (b0 < 0x80) {
+    *cp = b0;
+    return 1;
+  }
+  if (b0 >= 0xC2 && b0 <= 0xDF) {
+    if (i + 1 < n && (d[i + 1] & 0xC0) == 0x80) {
+      *cp = ((uint32_t)(b0 & 0x1F) << 6) | (d[i + 1] & 0x3F);
+      return 2;
+    }
+    return -1;
+  }
+  if (b0 >= 0xE0 && b0 <= 0xEF) {
+    if (i + 2 < n) {
+      uint8_t d1 = d[i + 1];
+      uint8_t lo = (b0 == 0xE0) ? 0xA0 : 0x80;
+      uint8_t hi = (b0 == 0xED) ? 0x9F : 0xBF;
+      if (d1 >= lo && d1 <= hi && (d[i + 2] & 0xC0) == 0x80) {
+        *cp = ((uint32_t)(b0 & 0x0F) << 12) | ((uint32_t)(d1 & 0x3F) << 6) |
+              (d[i + 2] & 0x3F);
+        return 3;
+      }
+    }
+    return -1;
+  }
+  if (b0 >= 0xF0 && b0 <= 0xF4) {
+    if (i + 3 < n) {
+      uint8_t d1 = d[i + 1];
+      uint8_t lo = (b0 == 0xF0) ? 0x90 : 0x80;
+      uint8_t hi = (b0 == 0xF4) ? 0x8F : 0xBF;
+      if (d1 >= lo && d1 <= hi && (d[i + 2] & 0xC0) == 0x80 &&
+          (d[i + 3] & 0xC0) == 0x80) {
+        *cp = ((uint32_t)(b0 & 0x07) << 18) | ((uint32_t)(d1 & 0x3F) << 12) |
+              ((uint32_t)(d[i + 2] & 0x3F) << 6) | (d[i + 3] & 0x3F);
+        return 4;
+      }
+    }
+    return -1;
+  }
+  return -1;
+}
+
+// Encode a lowered scalar value; width chosen by value, matching
+// utf8.lower_units_np (u64: width in the top byte, bytes little-endian).
+static inline uint64_t encode_lowered(uint32_t lc) {
+  if (lc < 0x80u) return ((uint64_t)1 << 56) | lc;
+  if (lc < 0x800u)
+    return ((uint64_t)2 << 56) | (uint64_t)(0xC0 | (lc >> 6)) |
+           ((uint64_t)(0x80 | (lc & 0x3F)) << 8);
+  if (lc < 0x10000u)
+    return ((uint64_t)3 << 56) | (uint64_t)(0xE0 | (lc >> 12)) |
+           ((uint64_t)(0x80 | ((lc >> 6) & 0x3F)) << 8) |
+           ((uint64_t)(0x80 | (lc & 0x3F)) << 16);
+  return ((uint64_t)4 << 56) | (uint64_t)(0xF0 | (lc >> 18)) |
+         ((uint64_t)(0x80 | ((lc >> 12) & 0x3F)) << 8) |
+         ((uint64_t)(0x80 | ((lc >> 6) & 0x3F)) << 16) |
+         ((uint64_t)(0x80 | (lc & 0x3F)) << 24);
+}
+
 // UTF-8 simple-lowercase transducer, bit-identical to the vectorized numpy
-// path (utils/utf8.py decode_utf8_np + LOWER_TABLE + encode_utf8_np):
-// every byte with a nonzero lead length starts a code point (stateless per
-// position — malformed overlapping sequences decode exactly like the numpy
-// fallback, reading zero past the end), each decoded cp maps through
-// lower_map (int32[0x110000]) and re-encodes.
+// path (utils/utf8.py lower_units_np): STRICT STREAMING semantics — only
+// minimal encodings of scalar values decode and map through lower_map
+// (int32[0x110000]); every other byte (overlong, surrogate, truncated,
+// orphan continuation, 0xF5+ lead) passes through unchanged as its own
+// unit.  The reference never faces malformed input (Haskell Text is
+// well-formed UTF-8, Utf8.hs:17-19); this is our contract for raw bytes.
 //
 // Outputs: lowered bytes -> out (capacity out_cap, must include >= 8
-// slack bytes); per-cp raw byte start -> raw_start; per-cp raw byte
-// length -> raw_len; per-cp output byte length -> out_len.  Returns the
-// cp count, or -1 if out_cap would overflow.  *out_nbytes receives the
+// slack bytes); per-unit raw byte start -> raw_start; per-unit raw byte
+// length -> raw_len; per-unit output byte length -> out_len.  Returns the
+// unit count, or -1 if out_cap would overflow.  *out_nbytes receives the
 // lowered byte count.
-//
-// Same branchless structure as am_lower_bytes (alternating ASCII/UTF-8
-// corpora defeat the branch predictor of a switch-based decoder); the
-// per-cp metadata stores are unconditional with a masked cursor advance.
 int64_t am_lower_transform(const int32_t* lower_map, const uint64_t* emap,
                            const uint8_t* data, int64_t n, uint8_t* out,
                            int64_t out_cap, int32_t* raw_start,
                            int32_t* raw_len, int32_t* out_len,
                            int64_t* out_nbytes) {
-  // Lead lengths match utf8._LEAD_LEN: 0x00-0x7F: 1; 0x80-0xBF: 0 (trail);
-  // 0xC0-0xDF: 2; 0xE0-0xEF: 3; 0xF0-0xF8: 4; 0xF9-0xFF: 0.
-  static uint8_t lead_len[256], lead_mask[256];
-  static bool init_done = false;
-  if (!init_done) {
-    for (int b = 0; b < 256; b++) {
-      int l = (b < 0x80) ? 1 : (b < 0xC0) ? 0 : (b < 0xE0) ? 2
-              : (b < 0xF0) ? 3 : (b < 0xF9) ? 4 : 0;
-      lead_len[b] = (uint8_t)l;
-      lead_mask[b] = (l == 1) ? 0x7F : (l == 2) ? 0x1F : (l == 3) ? 0x0F : 0x07;
-    }
-    init_done = true;
-  }
   int64_t n_cps = 0;
   int64_t o = 0;
   int64_t i = 0;
@@ -227,109 +278,47 @@ int64_t am_lower_transform(const int32_t* lower_map, const uint64_t* emap,
         n_cps += 64;
         continue;
       }
-      // Branchless inner over the 64-byte window (stateless per-byte
-      // stepping; a 4-byte decode needs the window's last 8 bytes intact).
-      uint8_t buf[64];
-      memcpy(buf, data + i, 64);
-      int64_t base = i, stop = i + 56;
-      while (i < stop) {
-        uint32_t w4;
-        memcpy(&w4, buf + (i - base), 4);
-        uint8_t b0 = (uint8_t)w4;
-        uint32_t l = lead_len[b0];
-        uint32_t cp4 = ((uint32_t)(b0 & lead_mask[b0]) << 18) |
-                       ((w4 >> 8) & 0x3F) << 12 |
-                       ((w4 >> 16) & 0x3F) << 6 | ((w4 >> 24) & 0x3F);
-        uint32_t cp = cp4 >> (6 * (4 - (l | (l == 0))));
-        uint64_t e;
-        if (cp < 0x10000u) {
-          e = emap[cp];
-        } else {
-          uint32_t lc = (cp < 0x110000u) ? (uint32_t)lower_map[cp] : cp;
-          e = ((uint64_t)4 << 56) | (uint64_t)(0xF0 | (lc >> 18)) |
-              ((uint64_t)(0x80 | ((lc >> 12) & 0x3F)) << 8) |
-              ((uint64_t)(0x80 | ((lc >> 6) & 0x3F)) << 16) |
-              ((uint64_t)(0x80 | (lc & 0x3F)) << 24);
-        }
-        uint64_t live = (uint64_t)0 - (uint64_t)(l != 0);
-        e &= live;
-        if (o + 8 > out_cap) return -1;
-        memcpy(out + o, &e, 8);
-        int ol = (int)(e >> 56);
-        raw_start[n_cps] = (int32_t)i;
-        raw_len[n_cps] = (int32_t)l;
-        out_len[n_cps] = (int32_t)ol;
-        n_cps += (int64_t)(live & 1);
-        o += ol;
-        i += 1;
-      }
-      continue;
     }
-    // Tail (< 64 bytes left): guarded scalar path.
-    uint8_t b0 = data[i];
-    uint32_t l = lead_len[b0];
-    if (l == 0) {
+    uint32_t cp;
+    int l = strict_decode(data, i, n, &cp);
+    if (l < 0) {
+      if (o + 1 > out_cap) return -1;
+      out[o] = data[i];
+      raw_start[n_cps] = (int32_t)i;
+      raw_len[n_cps] = 1;
+      out_len[n_cps] = 1;
+      n_cps++;
+      o++;
       i++;
       continue;
     }
-    uint32_t b1 = (i + 1 < n) ? (data[i + 1] & 0x3F) : 0;
-    uint32_t b2 = (i + 2 < n) ? (data[i + 2] & 0x3F) : 0;
-    uint32_t b3 = (i + 3 < n) ? (data[i + 3] & 0x3F) : 0;
-    uint32_t cp4 = ((uint32_t)(b0 & lead_mask[b0]) << 18) | (b1 << 12) |
-                   (b2 << 6) | b3;
-    uint32_t cp = cp4 >> (6 * (4 - l));
-    uint64_t e;
-    if (cp < 0x10000u) {
-      e = emap[cp];
-    } else {
-      uint32_t lc = (cp < 0x110000u) ? (uint32_t)lower_map[cp] : cp;
-      e = ((uint64_t)4 << 56) | (uint64_t)(0xF0 | (lc >> 18)) |
-          ((uint64_t)(0x80 | ((lc >> 12) & 0x3F)) << 8) |
-          ((uint64_t)(0x80 | ((lc >> 6) & 0x3F)) << 16) |
-          ((uint64_t)(0x80 | (lc & 0x3F)) << 24);
-    }
-    int ol = (int)(e >> 56);
+    uint64_t e = (cp < 0x10000u) ? emap[cp]
+                                 : encode_lowered((uint32_t)lower_map[cp]);
     if (o + 8 > out_cap) return -1;
     memcpy(out + o, &e, 8);
+    int ol = (int)(e >> 56);
     raw_start[n_cps] = (int32_t)i;
-    raw_len[n_cps] = (int32_t)l;
-    out_len[n_cps] = (int32_t)ol;
+    raw_len[n_cps] = l;
+    out_len[n_cps] = ol;
     n_cps++;
     o += ol;
-    i += 1;
+    i += l;
   }
   *out_nbytes = o;
   return n_cps;
 }
 
-// Metadata-free lowercase transducer: same byte semantics as
-// am_lower_transform but emits only the lowered bytes — for count /
+// Metadata-free lowercase transducer: same strict-streaming byte semantics
+// as am_lower_transform but emits only the lowered bytes — for count /
 // containsAny, which never map positions back to raw coordinates.
-//
-// Two fast paths: 64-byte all-ASCII blocks (vectorizable compare+blend),
-// and a BRANCHLESS per-byte path for everything else — decode-as-4-bytes
-// then shift (cp = cp4 >> 6*(4-len)), and emit via ``emap``, a caller-built
-// BMP table of pre-encoded lowered sequences (u64: output length in the
-// top byte, up to 4 UTF-8 bytes little-endian below; 8 bytes are always
-// stored, the width advances the cursor).  The alternating ASCII/UTF-8
-// corpora that defeat the branch predictor in am_lower_transform run
-// ~10x faster here.  Returns 0, or -1 if out_cap (which must include >= 8
-// slack bytes) would overflow.
+// ``emap`` is a caller-built BMP table of pre-encoded lowered sequences
+// (u64: output length in the top byte, up to 4 UTF-8 bytes little-endian
+// below; 8 bytes are always stored, the width advances the cursor).
+// Returns 0, or -1 if out_cap (which must include >= 8 slack bytes) would
+// overflow.
 int32_t am_lower_bytes(const int32_t* lower_map, const uint64_t* emap,
                        const uint8_t* data, int64_t n, uint8_t* out,
                        int64_t out_cap, int64_t* out_nbytes) {
-  // Per lead byte: sequence length (0 for trail/invalid) and value mask.
-  static uint8_t lead_len[256], lead_mask[256];
-  static bool init_done = false;
-  if (!init_done) {
-    for (int b = 0; b < 256; b++) {
-      int l = (b < 0x80) ? 1 : (b < 0xC0) ? 0 : (b < 0xE0) ? 2
-              : (b < 0xF0) ? 3 : (b < 0xF9) ? 4 : 0;
-      lead_len[b] = (uint8_t)l;
-      lead_mask[b] = (l == 1) ? 0x7F : (l == 2) ? 0x1F : (l == 3) ? 0x0F : 0x07;
-    }
-    init_done = true;
-  }
   int64_t i = 0, o = 0;
   while (i < n) {
     if (i + 64 <= n) {
@@ -347,68 +336,20 @@ int32_t am_lower_bytes(const int32_t* lower_map, const uint64_t* emap,
         o += 64;
         continue;
       }
-      if (o + 8 > out_cap) return -1;
-      // Branchless inner: one byte position per iteration (stateless
-      // per-byte stepping, exactly like am_lower_transform).
-      int64_t stop = i + 56;  // 4-byte decode window stays in the 64 read
-      uint8_t buf[64];
-      memcpy(buf, data + i, 64);
-      int64_t base = i;
-      while (i < stop) {
-        uint32_t w4;
-        memcpy(&w4, buf + (i - base), 4);
-        uint8_t b0 = (uint8_t)w4;
-        uint32_t l = lead_len[b0];
-        uint32_t cp4 = ((uint32_t)(b0 & lead_mask[b0]) << 18) |
-                       ((w4 >> 8) & 0x3F) << 12 |
-                       ((w4 >> 16) & 0x3F) << 6 | ((w4 >> 24) & 0x3F);
-        uint32_t cp = cp4 >> (6 * (4 - (l | (l == 0)))) ;
-        uint64_t e;
-        if (cp < 0x10000u) {
-          e = emap[cp];
-        } else {  // rare: non-BMP (astral) code point
-          uint32_t lc = (cp < 0x110000u) ? (uint32_t)lower_map[cp] : cp;
-          e = ((uint64_t)4 << 56) | (uint64_t)(0xF0 | (lc >> 18)) |
-              ((uint64_t)(0x80 | ((lc >> 12) & 0x3F)) << 8) |
-              ((uint64_t)(0x80 | ((lc >> 6) & 0x3F)) << 16) |
-              ((uint64_t)(0x80 | (lc & 0x3F)) << 24);
-        }
-        e &= (uint64_t)0 - (uint64_t)(l != 0);  // trail/invalid: emit nothing
-        if (o + 8 > out_cap) return -1;
-        memcpy(out + o, &e, 8);
-        o += (int64_t)(e >> 56);
-        i += 1;
-      }
+    }
+    uint32_t cp;
+    int l = strict_decode(data, i, n, &cp);
+    if (l < 0) {
+      if (o + 1 > out_cap) return -1;
+      out[o++] = data[i++];
       continue;
     }
-    // Tail (< 64 bytes left): guarded scalar path.
-    uint8_t b0 = data[i];
-    uint32_t l = lead_len[b0];
-    if (l == 0) {
-      i++;
-      continue;
-    }
-    uint32_t b1 = (i + 1 < n) ? (data[i + 1] & 0x3F) : 0;
-    uint32_t b2 = (i + 2 < n) ? (data[i + 2] & 0x3F) : 0;
-    uint32_t b3 = (i + 3 < n) ? (data[i + 3] & 0x3F) : 0;
-    uint32_t cp4 = ((uint32_t)(b0 & lead_mask[b0]) << 18) | (b1 << 12) |
-                   (b2 << 6) | b3;
-    uint32_t cp = cp4 >> (6 * (4 - l));
-    uint64_t e;
-    if (cp < 0x10000u) {
-      e = emap[cp];
-    } else {
-      uint32_t lc = (cp < 0x110000u) ? (uint32_t)lower_map[cp] : cp;
-      e = ((uint64_t)4 << 56) | (uint64_t)(0xF0 | (lc >> 18)) |
-          ((uint64_t)(0x80 | ((lc >> 12) & 0x3F)) << 8) |
-          ((uint64_t)(0x80 | ((lc >> 6) & 0x3F)) << 16) |
-          ((uint64_t)(0x80 | (lc & 0x3F)) << 24);
-    }
-    int ol = (int)(e >> 56);
+    uint64_t e = (cp < 0x10000u) ? emap[cp]
+                                 : encode_lowered((uint32_t)lower_map[cp]);
     if (o + 8 > out_cap) return -1;
     memcpy(out + o, &e, 8);
-    o += ol;
-    i += 1;
+    o += (int64_t)(e >> 56);
+    i += l;
   }
   *out_nbytes = o;
   return 0;

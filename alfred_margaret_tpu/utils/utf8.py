@@ -228,6 +228,69 @@ def is_trail_byte(b: int) -> bool:
     return (b & 0xC0) == 0x80
 
 
+def decode_strict(data: bytes, idx: int) -> Tuple[int, int, bool]:
+    """Strict streaming decode at ``idx``: ``(consumed, value, valid)``.
+
+    ``valid`` only for the *minimal* encoding of a scalar value (no
+    overlongs, no surrogates, max U+10FFFF) with all continuation bytes
+    present — the WHATWG/UTF-8-standard acceptance ranges.  Anything else
+    consumes exactly one byte with ``valid=False`` (the IgnoreCase paths
+    pass such bytes through unchanged).  This single definition governs
+    every IgnoreCase implementation (scalar oracle, vectorized and native
+    transducers, and the composed case-folding DFA), so their lowered
+    streams agree byte-for-byte on arbitrary input.  The reference never
+    faces this choice: Haskell ``Text`` guarantees well-formed UTF-8
+    (``Utf8.hs:17-19``).
+    """
+    b0 = data[idx]
+    if b0 < 0x80:
+        return 1, b0, True
+    n = len(data)
+
+    def tr(j):
+        return j < n and 0x80 <= data[j] <= 0xBF
+
+    if 0xC2 <= b0 <= 0xDF and tr(idx + 1):
+        return 2, ((b0 & 0x1F) << 6) | (data[idx + 1] & 0x3F), True
+    if 0xE0 <= b0 <= 0xEF and idx + 2 < n:
+        d1 = data[idx + 1]
+        lo, hi = (0xA0, 0xBF) if b0 == 0xE0 else (0x80, 0x9F) if b0 == 0xED else (0x80, 0xBF)
+        if lo <= d1 <= hi and tr(idx + 2):
+            return 3, ((b0 & 0x0F) << 12) | ((d1 & 0x3F) << 6) | (data[idx + 2] & 0x3F), True
+    if 0xF0 <= b0 <= 0xF4 and idx + 3 < n:
+        d1 = data[idx + 1]
+        lo, hi = (0x90, 0xBF) if b0 == 0xF0 else (0x80, 0x8F) if b0 == 0xF4 else (0x80, 0xBF)
+        if lo <= d1 <= hi and tr(idx + 2) and tr(idx + 3):
+            return (
+                4,
+                ((b0 & 0x07) << 18)
+                | ((d1 & 0x3F) << 12)
+                | ((data[idx + 2] & 0x3F) << 6)
+                | (data[idx + 3] & 0x3F),
+                True,
+            )
+    return 1, b0, False
+
+
+def lower_units_scalar(data: bytes) -> List[Tuple[int, int, bytes]]:
+    """Scalar reference of the strict streaming lowerer: list of units
+    ``(raw_start, raw_len, lowered_bytes)``.  Valid sequences lower through
+    ``LOWER_TABLE`` and re-encode minimally; invalid bytes pass through.
+    Used by tests as the ground truth for the vectorized / native / DFA
+    implementations."""
+    out = []
+    i, n = 0, len(data)
+    while i < n:
+        consumed, v, valid = decode_strict(data, i)
+        if valid:
+            low = int(LOWER_TABLE[v])
+            out.append((i, consumed, bytes(unicode2utf8(low))))
+        else:
+            out.append((i, 1, bytes([v])))
+        i += consumed
+    return out
+
+
 def skip_code_points_backwards(text: TextLike, idx: int, n: int) -> int:
     """From byte ``idx``, move to the start of its code point, then skip ``n``
     more code points backwards; return the byte index of the resulting code
@@ -348,6 +411,108 @@ def encode_utf8_np(cps: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     m = out_lens == 4
     out[offsets[m] + 3] = (0x80 | (cps[m] & 0x3F)).astype(np.uint8)
     return out, out_lens
+
+
+def strict_units_np(arr: np.ndarray):
+    """Vectorized strict streaming segmentation (see ``decode_strict``).
+
+    Returns ``(starts, raw_lens, valid, cps)`` per unit.  Vectorization is
+    possible because valid sequences are self-synchronizing: their interior
+    bytes are continuations, which can never start a sequence — so every
+    non-continuation byte starts a unit, and a continuation byte is its own
+    (invalid, passthrough) unit exactly when the nearest preceding
+    non-continuation byte's span does not cover it.
+    """
+    a = arr.astype(np.int32)
+    n = len(a)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), np.zeros(0, dtype=bool), np.zeros(0, dtype=np.int32)
+    pad = np.zeros(n + 3, np.int32)
+    pad[:n] = a
+    d1, d2, d3 = pad[1 : n + 1], pad[2 : n + 2], pad[3 : n + 3]
+    t = (a & 0xC0) == 0x80
+    t1 = (d1 & 0xC0) == 0x80
+    t2 = (d2 & 0xC0) == 0x80
+    t3 = (d3 & 0xC0) == 0x80
+    v2 = (a >= 0xC2) & (a <= 0xDF) & t1
+    v3 = (
+        ((a == 0xE0) & (d1 >= 0xA0) & (d1 <= 0xBF))
+        | ((a >= 0xE1) & (a <= 0xEC) & t1)
+        | ((a == 0xED) & (d1 >= 0x80) & (d1 <= 0x9F))
+        | ((a >= 0xEE) & (a <= 0xEF) & t1)
+    ) & t2
+    v4 = (
+        ((a == 0xF0) & (d1 >= 0x90) & (d1 <= 0xBF))
+        | ((a >= 0xF1) & (a <= 0xF3) & t1)
+        | ((a == 0xF4) & (d1 >= 0x80) & (d1 <= 0x8F))
+    ) & t2 & t3
+    valid_at = (a < 0x80) | v2 | v3 | v4
+    ln = np.where(
+        a < 0x80, 1, np.where(v2, 2, np.where(v3, 3, np.where(v4, 4, 1)))
+    ).astype(np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    prev_nt = np.maximum.accumulate(np.where(~t, idx, -1))
+    covered = (prev_nt >= 0) & (idx - prev_nt < ln[np.maximum(prev_nt, 0)])
+    starts = np.flatnonzero(~t | ~covered).astype(np.int64)
+    raw_lens = ln[starts]
+    valid = valid_at[starts]
+    b0 = a[starts]
+    e1, e2, e3 = d1[starts] & 0x3F, d2[starts] & 0x3F, d3[starts] & 0x3F
+    cps = np.where(
+        raw_lens == 1,
+        b0,
+        np.where(
+            raw_lens == 2,
+            ((b0 & 0x1F) << 6) | e1,
+            np.where(
+                raw_lens == 3,
+                ((b0 & 0x0F) << 12) | (e1 << 6) | e2,
+                ((b0 & 0x07) << 18) | (e1 << 12) | (e2 << 6) | e3,
+            ),
+        ),
+    ).astype(np.int32)
+    return starts, raw_lens, valid, cps
+
+
+def lower_units_np(arr: np.ndarray):
+    """Vectorized strict streaming lowerer.
+
+    Returns ``(lowered_bytes, starts, raw_lens, out_lens)`` — the primary
+    (reference) implementation of the IgnoreCase byte-stream transducer;
+    the native transducer and the composed case-folding DFA must agree
+    byte-for-byte (tests pin all three against ``lower_units_scalar``).
+    """
+    starts, raw_lens, valid, cps = strict_units_np(arr)
+    low = np.where(valid, LOWER_TABLE[np.where(valid, cps, 0)], cps)
+    out_lens = np.where(
+        ~valid,
+        1,
+        np.where(low < 0x80, 1, np.where(low < 0x800, 2, np.where(low < 0x10000, 3, 4))),
+    ).astype(np.int64)
+    m = len(starts)
+    offsets = np.zeros(m, dtype=np.int64)
+    if m > 1:
+        np.cumsum(out_lens[:-1], out=offsets[1:])
+    out = np.zeros(int(out_lens.sum()), dtype=np.uint8)
+    l1 = out_lens == 1
+    l2 = out_lens == 2
+    l3 = out_lens == 3
+    b0 = np.where(
+        l1,
+        low,  # ASCII lowered value, or the invalid byte passed through
+        np.where(l2, 0xC0 | (low >> 6), np.where(l3, 0xE0 | (low >> 12), 0xF0 | (low >> 18))),
+    )
+    out[offsets] = b0.astype(np.uint8)
+    sel = out_lens >= 2
+    b1 = np.where(l2, 0x80 | (low & 0x3F), np.where(l3, 0x80 | ((low >> 6) & 0x3F), 0x80 | ((low >> 12) & 0x3F)))
+    out[offsets[sel] + 1] = b1[sel].astype(np.uint8)
+    sel = out_lens >= 3
+    b2 = np.where(l3, 0x80 | (low & 0x3F), 0x80 | ((low >> 6) & 0x3F))
+    out[offsets[sel] + 2] = b2[sel].astype(np.uint8)
+    sel = out_lens == 4
+    out[offsets[sel] + 3] = (0x80 | (low[sel] & 0x3F)).astype(np.uint8)
+    return out, starts, raw_lens, out_lens
 
 
 class LoweredText:
@@ -613,15 +778,10 @@ def lower_transform(text: TextLike, need_coords: bool = True) -> LoweredText:
             )
     if n == 0 or int(arr.max(initial=0)) < 0x80:
         return LoweredText(lowered=ASCII_LOWER_BYTES[arr.astype(np.int32)], identity=True)
-    cps, starts, lens = decode_utf8_np(arr)
-    # Malformed sequences can decode to pseudo code points >= 0x110000
-    # (stateless per-byte decoding); pass them through unlowered exactly
-    # like the native transducer's `cp < 0x110000` guard.
-    low_cps = np.where(cps < MAX_CP, LOWER_TABLE[np.minimum(cps, MAX_CP - 1)], cps)
-    lowered, out_lens = encode_utf8_np(low_cps)
+    lowered, starts, raw_lens, out_lens = lower_units_np(arr)
     return LoweredText(
         lowered=lowered,
-        raw_start=starts,
-        raw_end=(starts + lens).astype(np.int32),
+        raw_start=starts.astype(np.int32),
+        raw_end=(starts + raw_lens).astype(np.int32),
         out_lens=out_lens,
     )

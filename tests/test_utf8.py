@@ -177,20 +177,74 @@ class TestLowerTransform:
         assert lt.match_raw_end(5) == 5  # after ⱥ -> İ(2)+x(1)+Ⱥ(2)
 
 
-def test_numpy_fallback_malformed_parity():
-    """The pure-numpy transducer fallback must survive malformed input
-    (pseudo code points >= 0x110000) and agree with the native path."""
-    import numpy as np
+class TestStrictStreamingLowering:
+    """The strict streaming transducer contract (utf8.decode_strict): the
+    scalar reference, the vectorized numpy path, and the native path must
+    produce identical units and lowered bytes on ANY input — valid UTF-8,
+    malformed soup, truncations, overlongs, surrogates."""
 
-    from alfred_margaret_tpu.utils import utf8
+    CASES = [
+        b"",
+        b"plain ASCII with UPPER and lower 0123",
+        "İstanbul STRASSE straße Ⱥx ǄǱ θΩ K Å 𝄞💩".encode(),
+        b"\xc3",  # truncated 2-byte
+        b"\xc3A",  # 2-byte interrupted by ASCII
+        b"\x80\x81\xbf",  # orphan continuations
+        b"\xc0\x81\xc1\xbf",  # overlong 2-byte forms (invalid leads)
+        b"\xe0\x80\x80",  # overlong 3-byte
+        b"\xed\xa0\x80",  # surrogate
+        b"\xf4\x90\x80\x80",  # > U+10FFFF
+        b"\xf0\x9f\x92",  # truncated 4-byte
+        b"A\xc3\xa9\xffB\xe2\x84\xaaZ",  # mix valid/invalid
+    ]
 
-    rng = np.random.default_rng(12)
-    soup = bytes(rng.integers(0, 256, size=65536, dtype=np.uint8).tolist())
-    native = utf8.lower_transform(soup)
-    arr = np.frombuffer(soup, dtype=np.uint8)
-    cps, starts, lens = utf8.decode_utf8_np(arr)
-    low_cps = np.where(
-        cps < utf8.MAX_CP, utf8.LOWER_TABLE[np.minimum(cps, utf8.MAX_CP - 1)], cps
-    )
-    lowered_np, _ = utf8.encode_utf8_np(low_cps)
-    assert bytes(native.lowered) == bytes(lowered_np)
+    def _soup(self):
+        import numpy as np
+
+        rng = np.random.default_rng(12)
+        return bytes(rng.integers(0, 256, size=65536, dtype=np.uint8).tolist())
+
+    def test_scalar_vs_numpy_units(self):
+        import numpy as np
+
+        from alfred_margaret_tpu.utils import utf8
+
+        for raw in self.CASES + [self._soup()]:
+            ref = utf8.lower_units_scalar(raw)
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            lowered, starts, raw_lens, out_lens = utf8.lower_units_np(arr)
+            assert [int(s) for s in starts] == [u[0] for u in ref], raw[:20]
+            assert [int(l) for l in raw_lens] == [u[1] for u in ref], raw[:20]
+            assert bytes(lowered) == b"".join(u[2] for u in ref), raw[:20]
+            assert [int(o) for o in out_lens] == [len(u[2]) for u in ref]
+
+    def test_native_vs_scalar(self):
+        from alfred_margaret_tpu.utils import utf8
+
+        if utf8._native_lib() is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        for raw in self.CASES + [self._soup()]:
+            ref = utf8.lower_units_scalar(raw)
+            lt = utf8.lower_transform(raw, need_coords=True)
+            assert bytes(lt.lowered) == b"".join(u[2] for u in ref), raw[:20]
+            if not lt.identity:
+                assert [int(s) for s in lt.raw_start] == [u[0] for u in ref]
+            fast = utf8.lower_transform(raw, need_coords=False)
+            assert bytes(fast.lowered) == bytes(lt.lowered), raw[:20]
+
+    def test_oracle_matches_lowered_scan(self):
+        """run_with_case(IGNORE_CASE) on raw bytes == CASE_SENSITIVE scan of
+        the lowered stream, including on malformed input."""
+        from alfred_margaret_tpu.models import ac
+        from alfred_margaret_tpu.utils import utf8
+        from alfred_margaret_tpu.utils.case import CASE_SENSITIVE, IGNORE_CASE
+
+        needles = ["abc", "é", "k", "i", "ß"]
+        m = ac.build([(utf8.lower_str(n), i) for i, n in enumerate(needles)])
+        for raw in self.CASES + [self._soup()[:8000]]:
+            lowered = utf8.lower_transform(raw, need_coords=False).lowered
+            assert ac.count_matches(m, raw, IGNORE_CASE) == ac.count_matches(
+                m, bytes(lowered), CASE_SENSITIVE
+            ), raw[:20]
