@@ -14,11 +14,16 @@ match end positions (raw byte coordinates) + value ids. Backends:
 
 IgnoreCase strategy (design delta vs the reference, SURVEY.md §7.1): instead
 of decoding + lowering each code point inside the hot loop
-(``AhoCorasick/Automaton.hs:468-480``), the haystack is lowered **up front**
-by a vectorized byte-stream transducer (``utils.utf8.lower_transform``) that
-carries raw-byte coordinate maps; the case-sensitive byte DFA then runs on
-the lowered stream and positions are mapped back to raw coordinates. This
-keeps the per-byte device loop a pure gather.
+(``AhoCorasick/Automaton.hs:468-480``), the streaming lowering transducer is
+**composed with the match DFA at build time** (``models.case_dfa``) so scans
+run directly on the RAW bytes — IgnoreCase at full CaseSensitive speed, with
+natively raw match coordinates.  When composition is unavailable (automaton
+above the ``AMT_COMPOSED_CI`` state gate, or needles that are not whole code
+points) the fallback lowers the haystack up front with a vectorized
+byte-stream transducer (``utils.utf8.lower_transform``) that carries
+raw-byte coordinate maps, scans the lowered stream case-sensitively, and
+maps positions back to raw coordinates.  Either way the per-byte device
+loop is a pure gather.
 """
 
 from __future__ import annotations
@@ -65,9 +70,15 @@ class StagedHaystack:
     """
 
     case: CaseSensitivity
-    data: np.ndarray  # scan bytes (lowered under IGNORE_CASE)
+    data: np.ndarray  # scan bytes (lowered under non-composed IGNORE_CASE)
     lowered: Optional[utf8.LoweredText]
     device: object = None  # backend staging handle (StagedStreams)
+    #: True when prepared by the composed case-DFA engine: ``data`` is the
+    #: RAW bytes and the staging belongs to the composed machine's backends.
+    composed: bool = False
+    #: The machine whose engine staged this haystack (identity-checked so a
+    #: staged haystack cannot silently be scanned by a different searcher).
+    owner: object = None
 
     def __len__(self) -> int:
         return len(self.data)
@@ -104,6 +115,54 @@ class MatchEngine:
         self._xla = None
         self._pallas = None
         self._cpp = None
+        self._ci = False  # False = not yet tried; None = unavailable
+
+    # -- composed IgnoreCase engine ---------------------------------------
+
+    #: Haystack size from which a one-shot IgnoreCase scan triggers building
+    #: the composed case DFA: one lowering pass of this size costs about as
+    #: much as a small-automaton composition, so everything above amortizes
+    #: immediately (and the machine is cached for all later scans).
+    AUTO_COMPOSE_BYTES = 4 << 20
+
+    def _composed(self, case: CaseSensitivity, text=None) -> Optional["MatchEngine"]:
+        """The composed case-folding engine for IGNORE_CASE scans, or None.
+
+        Built lazily: composing the strict lowering transducer with the
+        match DFA (``models.case_dfa``) yields a raw-byte machine scanned
+        CaseSensitively — removing the per-scan host lowering pass entirely
+        and making match coordinates natively raw.  Composition costs
+        ~O(n_states) host time once, so it is triggered by repeated-scan
+        intent (``stage``) or a large one-shot input, and gated by
+        ``AMT_COMPOSED_CI`` (max automaton states) and needle eligibility
+        (whole-code-point needles).
+
+        ``text=None`` forces the build (staging); a ``StagedHaystack``
+        delegates only if it was staged through the composed path.
+        """
+        if case is not IGNORE_CASE:
+            return None
+        if isinstance(text, StagedHaystack):
+            if text.composed and self._ci and text.owner is self._ci.machine:
+                return self._ci
+            return None
+        if self._ci is False:
+            if text is not None and len(text) < self.AUTO_COMPOSE_BYTES:
+                return None  # not yet worth building; retry on larger input
+            self._ci = None
+            m = self.machine
+            if m.n_states <= config.DEFAULT.composed_ci_max_states:
+                from .models import case_dfa
+
+                try:
+                    if case_dfa.eligible(m.needles):
+                        cm = case_dfa.compose_build(
+                            list(zip(m.needles, m.values)), machine=m
+                        )
+                        self._ci = MatchEngine(cm, self.engine)
+                except Exception:
+                    self._ci = None
+        return self._ci
 
     # -- backend selection -------------------------------------------------
 
@@ -241,6 +300,10 @@ class MatchEngine:
         (counting / existence) skips the raw-coordinate maps — a ~3x
         cheaper IgnoreCase transducer pass."""
         if isinstance(text, StagedHaystack):
+            if text.composed and case is CASE_SENSITIVE and text.owner is self.machine:
+                # Composed-CI staged haystack scanned by its owning composed
+                # engine: raw bytes, case-sensitive scan by construction.
+                return text.data, text.lowered
             if text.case is not case:
                 raise ValueError("staged haystack was prepared for a different case mode")
             return text.data, text.lowered
@@ -256,8 +319,14 @@ class MatchEngine:
 
         TPU-native extension (the reference re-scans `Text` values; a
         device framework wants the host->device staging amortized)."""
+        ci = self._composed(case)
+        if ci is not None:
+            staged = ci.stage(text, CASE_SENSITIVE)
+            staged.case = case  # user-visible contract: staged for IGNORE_CASE
+            staged.composed = True
+            return staged
         data, lt = self._prep(text, case)
-        staged = StagedHaystack(case=case, data=data, lowered=lt)
+        staged = StagedHaystack(case=case, data=data, lowered=lt, owner=self.machine)
         if self._pick(len(data), staged=True) == "pallas":
             eng = self._pallas_engine()
             if hasattr(eng, "stage"):
@@ -269,6 +338,9 @@ class MatchEngine:
     # -- operations --------------------------------------------------------
 
     def count(self, text: utf8.TextLike, case: CaseSensitivity) -> int:
+        ci = self._composed(case, text)
+        if ci is not None:
+            return ci.count(text, CASE_SENSITIVE)
         data, _ = self._prep(text, case, need_coords=False)
         backend = self._pick(len(data), staged=_has_device(text))
         if backend == "python":
@@ -296,6 +368,9 @@ class MatchEngine:
         return got
 
     def contains_any(self, text: utf8.TextLike, case: CaseSensitivity) -> bool:
+        ci = self._composed(case, text)
+        if ci is not None:
+            return ci.contains_any(text, CASE_SENSITIVE)
         data, _ = self._prep(text, case, need_coords=False)
         backend = self._pick(len(data), staged=_has_device(text))
         if backend == "python":
@@ -326,6 +401,12 @@ class MatchEngine:
 
     def matches(self, text: utf8.TextLike, case: CaseSensitivity) -> MatchSet:
         """All matches with raw-coordinate end positions, emission order."""
+        ci = self._composed(case, text)
+        if ci is not None:
+            # Raw-byte scan on the composed machine: ends are already raw,
+            # MatchSet.lowered stays None (consumers recover starts with
+            # utf8.raw_match_starts).
+            return ci.matches(text, CASE_SENSITIVE)
         data, lt = self._prep(text, case)
         backend = self._pick(len(data), staged=_has_device(text))
         eng = None
@@ -363,6 +444,9 @@ class MatchEngine:
 
     def value_presence(self, text: utf8.TextLike, case: CaseSensitivity) -> np.ndarray:
         """bool [n_values]: which values have at least one match."""
+        ci = self._composed(case, text)
+        if ci is not None:
+            return ci.value_presence(text, CASE_SENSITIVE)
         data, _ = self._prep(text, case, need_coords=False)
         m = self.machine
         backend = self._pick(len(data), staged=_has_device(text))

@@ -1,3 +1,3 @@
-from . import ac
+from . import ac, case_dfa
 
-__all__ = ["ac"]
+__all__ = ["ac", "case_dfa"]

@@ -237,6 +237,20 @@ static inline uint64_t encode_lowered(uint32_t lc) {
          ((uint64_t)(0x80 | (lc & 0x3F)) << 24);
 }
 
+// Length of the pure-ASCII prefix of the next 64 bytes (0..64).  Lets the
+// transducers bulk-lower ASCII runs and pay the scalar decode only for the
+// actual non-ASCII unit, instead of re-probing a full 64-byte window after
+// every decoded code point (which made mixed text ~30x slower than ASCII).
+static inline int64_t ascii_prefix_len64(const uint8_t* p) {
+  uint64_t w[8];
+  memcpy(w, p, 64);
+  for (int t = 0; t < 8; t++) {
+    uint64_t m = w[t] & 0x8080808080808080ull;
+    if (m) return (int64_t)t * 8 + (__builtin_ctzll(m) >> 3);
+  }
+  return 64;
+}
+
 // UTF-8 simple-lowercase transducer, bit-identical to the vectorized numpy
 // path (utils/utf8.py lower_units_np): STRICT STREAMING semantics — only
 // minimal encodings of scalar values decode and map through lower_map
@@ -260,22 +274,19 @@ int64_t am_lower_transform(const int32_t* lower_map, const uint64_t* emap,
   int64_t i = 0;
   while (i < n) {
     if (i + 64 <= n) {
-      uint64_t acc = 0;
-      uint64_t w[8];
-      memcpy(w, data + i, 64);
-      for (int t = 0; t < 8; t++) acc |= w[t];
-      if (!(acc & 0x8080808080808080ull)) {
-        if (o + 64 > out_cap) return -1;
-        for (int t = 0; t < 64; t++) {
+      int64_t k = ascii_prefix_len64(data + i);
+      if (k) {
+        if (o + k > out_cap) return -1;
+        for (int64_t t = 0; t < k; t++) {
           uint8_t b = data[i + t];
           out[o + t] = (uint8_t)(b + (((uint8_t)(b - 'A') < 26u) ? 0x20 : 0));
           raw_start[n_cps + t] = (int32_t)(i + t);
           raw_len[n_cps + t] = 1;
           out_len[n_cps + t] = 1;
         }
-        i += 64;
-        o += 64;
-        n_cps += 64;
+        i += k;
+        o += k;
+        n_cps += k;
         continue;
       }
     }
@@ -322,18 +333,15 @@ int32_t am_lower_bytes(const int32_t* lower_map, const uint64_t* emap,
   int64_t i = 0, o = 0;
   while (i < n) {
     if (i + 64 <= n) {
-      uint64_t acc = 0;
-      uint64_t w[8];
-      memcpy(w, data + i, 64);
-      for (int t = 0; t < 8; t++) acc |= w[t];
-      if (!(acc & 0x8080808080808080ull)) {
-        if (o + 64 > out_cap) return -1;
-        for (int t = 0; t < 64; t++) {
+      int64_t k = ascii_prefix_len64(data + i);
+      if (k) {
+        if (o + k > out_cap) return -1;
+        for (int64_t t = 0; t < k; t++) {
           uint8_t b = data[i + t];
           out[o + t] = (uint8_t)(b + (((uint8_t)(b - 'A') < 26u) ? 0x20 : 0));
         }
-        i += 64;
-        o += 64;
+        i += k;
+        o += k;
         continue;
       }
     }

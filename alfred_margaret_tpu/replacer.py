@@ -183,7 +183,7 @@ class Replacer:
 
         while True:
             ms = searcher._engine.matches(data, case)
-            best, length_delta = self._select_pass(ms, machine, threshold)
+            best, length_delta = self._select_pass(ms, machine, threshold, data)
             if best is None:
                 result = data
                 break
@@ -199,7 +199,7 @@ class Replacer:
 
         return result.decode("utf-8") if as_str else result
 
-    def _select_pass(self, ms, machine, threshold: int):
+    def _select_pass(self, ms, machine, threshold: int, data: bytes):
         """Pick the matches of the best priority below ``threshold``.
 
         Returns (``(priority, payload, starts, ends)`` or None,
@@ -224,8 +224,14 @@ class Replacer:
         if self.case_sensitivity is IGNORE_CASE:
             lt = ms.lowered
             lenc = payload.needle_length_code_points
-            end_cp = lt.cp_of_raw_end(ends)
-            starts = lt.raw_start_of_cp(end_cp - (lenc - 1))
+            if lt is None:
+                # Composed case-DFA path: ends are native raw coordinates,
+                # recover starts by backward code-point skipping on the raw
+                # text (makeMatch, Replacer.hs:264-274).
+                starts = utf8.raw_match_starts(data, ends, lenc)
+            else:
+                end_cp = lt.cp_of_raw_end(ends)
+                starts = lt.raw_start_of_cp(end_cp - (lenc - 1))
         else:
             starts = ends - payload.needle_length_bytes
         # Engine emission order is ascending end = ascending start here (all

@@ -69,12 +69,16 @@ class Splitter:
             # Separator length counts code points (byte lengths of case
             # variants differ, Splitter.hs:111-121).
             lenc = len(self._separator_str)
-            if len(ms.ends):
+            if len(ms.ends) == 0:
+                sep_starts = np.zeros(0, dtype=np.int64)
+            elif ms.lowered is None:
+                # Composed case-DFA path: raw-coordinate ends, recover
+                # starts by backward code-point skipping (Splitter.hs:111-121).
+                sep_starts = utf8.raw_match_starts(data, ms.ends, lenc)
+            else:
                 lt = ms.lowered
                 end_cp = lt.cp_of_raw_end(ms.ends)
                 sep_starts = lt.raw_start_of_cp(end_cp - (lenc - 1))
-            else:
-                sep_starts = np.zeros(0, dtype=np.int64)
         else:
             sep_starts = ms.ends - len(self._separator)
 

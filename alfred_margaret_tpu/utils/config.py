@@ -12,6 +12,9 @@ environment (prefix ``AMT_``):
                    engine on every scan (the debug analogue of the
                    reference's bounds-checked era, Automaton.hs:382-392)
   AMT_NO_NATIVE    1 -> never load the C++ helper library
+  AMT_COMPOSED_CI  max automaton states for which IgnoreCase scans build
+                   the composed case-folding DFA (models.case_dfa) and scan
+                   raw bytes; 0 disables composition entirely
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ class EngineConfig:
     t_tile: int = 128
     interpret: bool = False
     validate: bool = False
+    composed_ci_max_states: int = 4096
 
     @staticmethod
     def from_env() -> "EngineConfig":
@@ -42,6 +46,7 @@ class EngineConfig:
             t_tile=_env_int("AMT_T_TILE", 128),
             interpret=bool(os.environ.get("AMT_INTERPRET")),
             validate=bool(os.environ.get("AMT_VALIDATE")),
+            composed_ci_max_states=_env_int("AMT_COMPOSED_CI", 4096),
         )
 
 
