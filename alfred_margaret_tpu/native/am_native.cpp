@@ -159,6 +159,74 @@ int64_t am_scan_hits_mt(const int32_t* delta, const int32_t* match_count,
   return total;
 }
 
+// Segmented hit scan: run the DFA over many independent [begin, end) byte
+// segments of one buffer, resetting to the root state at each segment
+// start, appending (position one past match end, state) per hit.  One call
+// replaces thousands of tiny per-window scans in the incremental Replacer
+// (windows around splice sites).  Returns the total hit count; writes
+// min(total, cap) entries.
+int64_t am_scan_segments_hits(const int32_t* delta, const int32_t* match_count,
+                              const uint8_t* data, const int64_t* seg_begin,
+                              const int64_t* seg_end, int64_t n_segs,
+                              int64_t* out_pos, int32_t* out_state,
+                              int64_t cap) {
+  int64_t o = 0, total = 0;
+  for (int64_t s = 0; s < n_segs; s++) {
+    int32_t state = 0;
+    for (int64_t i = seg_begin[s]; i < seg_end[s]; i++) {
+      state = delta[(int64_t)state * 256 + data[i]];
+      if (match_count[state] > 0) {
+        total++;
+        if (o < cap) {
+          out_pos[o] = i + 1;
+          out_state[o] = state;
+          o++;
+        }
+      }
+    }
+  }
+  return total;
+}
+
+// Splice: copy data with each sorted non-overlapping [starts_i, ends_i)
+// range replaced by repl (one replacement string per call — a Replacer
+// pass replaces a single needle).  out must have capacity
+// n + n_sites*repl_len.  Returns bytes written.
+int64_t am_splice(const uint8_t* data, int64_t n, const int64_t* starts,
+                  const int64_t* ends, int64_t n_sites, const uint8_t* repl,
+                  int64_t repl_len, uint8_t* out) {
+  int64_t o = 0, prev = 0;
+  for (int64_t i = 0; i < n_sites; i++) {
+    int64_t s = starts[i];
+    memcpy(out + o, data + prev, (size_t)(s - prev));
+    o += s - prev;
+    memcpy(out + o, repl, (size_t)repl_len);
+    o += repl_len;
+    prev = ends[i];
+  }
+  memcpy(out + o, data + prev, (size_t)(n - prev));
+  return o + (n - prev);
+}
+
+// Greedy leftmost-wins overlap removal over (start, end) pairs already
+// sorted ascending (removeOverlap, Replacer.hs:191-198): keep a match iff
+// its start is at/after the previous kept end.  Returns the kept count.
+int64_t am_remove_overlap(const int64_t* starts, const int64_t* ends,
+                          int64_t n, int64_t* kept_starts,
+                          int64_t* kept_ends) {
+  int64_t k = 0;
+  int64_t prev_end = -1;
+  for (int64_t i = 0; i < n; i++) {
+    if (starts[i] >= prev_end) {
+      kept_starts[k] = starts[i];
+      kept_ends[k] = ends[i];
+      prev_end = ends[i];
+      k++;
+    }
+  }
+  return k;
+}
+
 // memcpy-bound baseline: XOR-reduce the input (reads every byte once).
 // Used by the benchmark harness to estimate the host memory roof.
 int64_t am_memscan_baseline(const uint8_t* data, int64_t n) {

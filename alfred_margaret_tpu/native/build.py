@@ -111,6 +111,37 @@ def load() -> ctypes.CDLL:
             ctypes.c_void_p,  # out_state
             ctypes.c_int64,  # cap
         ]
+        lib.am_scan_segments_hits.restype = ctypes.c_int64
+        lib.am_scan_segments_hits.argtypes = [
+            ctypes.c_void_p,  # delta
+            ctypes.c_void_p,  # match_count
+            ctypes.c_void_p,  # data
+            ctypes.c_void_p,  # seg_begin
+            ctypes.c_void_p,  # seg_end
+            ctypes.c_int64,  # n_segs
+            ctypes.c_void_p,  # out_pos
+            ctypes.c_void_p,  # out_state
+            ctypes.c_int64,  # cap
+        ]
+        lib.am_splice.restype = ctypes.c_int64
+        lib.am_splice.argtypes = [
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,  # n
+            ctypes.c_void_p,  # starts
+            ctypes.c_void_p,  # ends
+            ctypes.c_int64,  # n_sites
+            ctypes.c_void_p,  # repl
+            ctypes.c_int64,  # repl_len
+            ctypes.c_void_p,  # out
+        ]
+        lib.am_remove_overlap.restype = ctypes.c_int64
+        lib.am_remove_overlap.argtypes = [
+            ctypes.c_void_p,  # starts
+            ctypes.c_void_p,  # ends
+            ctypes.c_int64,  # n
+            ctypes.c_void_p,  # kept_starts
+            ctypes.c_void_p,  # kept_ends
+        ]
         lib.am_memscan_baseline.restype = ctypes.c_int64
         lib.am_memscan_baseline.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.am_lower_transform.restype = ctypes.c_int64

@@ -97,6 +97,40 @@ class CppAcEngine:
 
         return expand_hits(self.machine, pos[:total], st[:total])
 
+    def segments_matches_arrays(self, data: np.ndarray, seg_begin: np.ndarray, seg_end: np.ndarray):
+        """(ends, value_ids) of scanning each ``[begin, end)`` segment of
+        ``data`` independently (state resets to root per segment), reference
+        emission order within each segment, segments in input order.  One
+        native call — the incremental Replacer's window rescan."""
+        data = np.ascontiguousarray(data)
+        seg_begin = np.ascontiguousarray(seg_begin, dtype=np.int64)
+        seg_end = np.ascontiguousarray(seg_end, dtype=np.int64)
+        if len(seg_begin) == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
+        cap = 4096
+        while True:
+            pos = np.empty(cap, dtype=np.int64)
+            st = np.empty(cap, dtype=np.int32)
+            total = int(
+                self.lib.am_scan_segments_hits(
+                    self.delta.ctypes.data,
+                    self.match_count.ctypes.data,
+                    data.ctypes.data,
+                    seg_begin.ctypes.data,
+                    seg_end.ctypes.data,
+                    len(seg_begin),
+                    pos.ctypes.data,
+                    st.ctypes.data,
+                    cap,
+                )
+            )
+            if total <= cap:
+                break
+            cap = total + 16
+        from ..ops.xla_scan import expand_hits
+
+        return expand_hits(self.machine, pos[:total], st[:total])
+
     def memscan_baseline(self, text: utf8.TextLike) -> int:
         """XOR-reduce the input once: the host memory-bandwidth roof."""
         data = np.ascontiguousarray(utf8.to_u8(text))

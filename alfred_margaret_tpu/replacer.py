@@ -13,6 +13,7 @@ control-flow-heavy pass loop is host-driven; each pass is one device scan).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, replace as dc_replace
 from typing import Any, Callable, Iterable, List, Optional, Tuple
 
@@ -24,6 +25,14 @@ from .utils import utf8
 from .utils.case import IGNORE_CASE, CaseSensitivity
 
 MAX_BOUND = 2**63 - 1
+
+#: The incremental multi-pass engine (one full scan; later passes patch the
+#: match list and rescan only windows around splice sites).  Exact for
+#: CaseSensitive and composed-CI scans because a DFA match depends only on
+#: its own span's bytes: matches not intersecting a replaced range survive
+#: verbatim (shifted), and every new match must intersect one.  Escape
+#: hatch for debugging: AMT_NO_INCREMENTAL=1 forces full rescans per pass.
+INCREMENTAL = not os.environ.get("AMT_NO_INCREMENTAL")
 
 
 @dataclass(frozen=True)
@@ -181,6 +190,16 @@ class Replacer:
         min_priority = 1 - num_needles
         threshold = 1  # priorities are <= 0, so 1 keeps all matches
 
+        if INCREMENTAL and num_needles and all(
+            p.needle_length_bytes > 0 and p.needle_length_code_points > 0
+            for _, p in searcher.needles
+        ):
+            result = self._run_incremental(data, max_length, min_priority)
+            if result is not _FALLBACK:
+                if result is None:
+                    return None
+                return result.decode("utf-8") if as_str else result
+
         while True:
             ms = searcher._engine.matches(data, case)
             best, length_delta = self._select_pass(ms, machine, threshold, data)
@@ -235,29 +254,262 @@ class Replacer:
         else:
             starts = ends - payload.needle_length_bytes
         # Engine emission order is ascending end = ascending start here (all
-        # matches are the same needle).
-        # removeOverlap: keep matches that start at/after the previous kept end
-        # (Replacer.hs:191-198), leftmost-wins within the pass.
-        kept_starts: List[int] = []
-        kept_ends: List[int] = []
-        prev_end = -1
-        for s, e in zip(starts, ends):
-            if s >= prev_end:
-                kept_starts.append(int(s))
-                kept_ends.append(int(e))
-                prev_end = int(e)
+        # matches are the same needle).  removeOverlap: leftmost-wins within
+        # the pass (Replacer.hs:191-198).
+        kept_starts, kept_ends = _remove_overlap(starts, ends)
         # maxLength estimate over ALL matches of this priority (pre-dedup).
         repl_len = len(payload.needle_replacement)
         delta = int(np.sum(repl_len - (ends - starts)))
-        return (
-            (p, payload, np.asarray(kept_starts, dtype=np.int64), np.asarray(kept_ends, dtype=np.int64)),
-            delta,
+        return (p, payload, kept_starts, kept_ends), delta
+
+    # -- incremental multi-pass engine -------------------------------------
+
+    def _run_incremental(self, data: bytes, max_length: int, min_priority: int):
+        """One full scan, then per-pass match-list patching.
+
+        Exactness argument: a DFA match at end ``e`` depends only on the
+        bytes of its own span (the automaton state warms up within the
+        span).  So after splicing a pass's replacements, (a) every match
+        not intersecting a replaced range survives verbatim, shifted by the
+        cumulative splice delta; (b) every *new* match intersects a
+        replaced range, and its span lies within ``maxlen-1`` bytes of it —
+        rescanning merged windows around the splice sites from the root
+        state finds exactly those.  The per-pass result therefore equals a
+        full rescan (the reference's semantics, ``Replacer.hs:203-274``)
+        while costing O(matches) instead of O(text).
+
+        Returns the spliced bytes, None (max_length exceeded), or
+        ``_FALLBACK`` when the scan mode is not eligible (lowered-stream
+        IgnoreCase path, whose coordinate maps cannot be patched).
+        """
+        searcher = self.searcher
+        case = searcher.case_sensitivity
+        eng = searcher._engine
+        ms = eng.matches(data, case)
+        if case is IGNORE_CASE and ms.lowered is not None:
+            return _FALLBACK
+        composed = case is IGNORE_CASE
+        scan_machine = eng._ci.machine if composed else eng.machine
+        maxlen = max(1, scan_machine.max_needle_bytes)
+        values = searcher.automaton.values
+        prio_of = np.fromiter((v.needle_priority for v in values), np.int64, len(values))
+        lenb_of = np.fromiter((v.needle_length_bytes for v in values), np.int64, len(values))
+        lencp_of = np.fromiter(
+            (v.needle_length_code_points for v in values), np.int64, len(values)
         )
+
+        ends = np.asarray(ms.ends, dtype=np.int64)
+        vids = np.asarray(ms.value_ids, dtype=np.int64)
+        prios = prio_of[vids]
+        starts = self._starts_vectorized(data, ends, vids, lenb_of, lencp_of, composed)
+        threshold = 1
+
+        while True:
+            live = prios < threshold
+            if not live.any():
+                return data
+            p = int(prios[live].max())
+            sel = np.flatnonzero(prios == p)
+            payload: Payload = values[int(vids[sel[0]])]
+            repl = payload.needle_replacement
+            repl_len = len(repl)
+            # maxLength estimate over ALL matches of this priority, pre-dedup
+            # (Replacer.hs:232-240).
+            length_delta = int(np.sum(repl_len - (ends[sel] - starts[sel])))
+            if len(data) + length_delta > max_length:
+                return None
+            # removeOverlap, leftmost-wins (Replacer.hs:191-198).
+            k_starts, k_ends = _remove_overlap(starts[sel], ends[sel])
+            new_data = _splice(data, k_starts, k_ends, repl)
+            if p == min_priority:
+                return new_data
+            threshold = p
+
+            # -- patch the match list for the next pass --------------------
+            deltas = repl_len - (k_ends - k_starts)
+            shift = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(deltas)])
+            new_r_starts = k_starts + shift[:-1]
+            new_r_ends = new_r_starts + repl_len
+            # Survivors: priority below the new threshold and not
+            # intersecting any replaced [k_start, k_end) range.
+            idx = np.searchsorted(k_ends, starts, side="right")
+            idx_c = np.minimum(idx, len(k_starts) - 1)
+            inter = (idx < len(k_starts)) & (k_starts[idx_c] < ends)
+            keep = ~inter & (prios < threshold)
+            kshift = shift[np.searchsorted(k_ends, starts[keep], side="right")]
+            starts = starts[keep] + kshift
+            ends = ends[keep] + kshift
+            vids = vids[keep]
+            prios = prios[keep]
+            # Windows around each splice site, merged.
+            w_b, w_e = _merge_windows(
+                np.maximum(new_r_starts - (maxlen - 1), 0),
+                np.minimum(new_r_ends + (maxlen - 1), len(new_data)),
+            )
+            if int(np.sum(w_e - w_b)) > len(new_data) // 2:
+                # Windows cover most of the text: a full rescan is cheaper.
+                ms2 = eng.matches(new_data, case)
+                ends = np.asarray(ms2.ends, dtype=np.int64)
+                vids = np.asarray(ms2.value_ids, dtype=np.int64)
+                prios = prio_of[vids]
+                keep2 = prios < threshold
+                ends, vids, prios = ends[keep2], vids[keep2], prios[keep2]
+                starts = self._starts_vectorized(
+                    new_data, ends, vids, lenb_of, lencp_of, composed
+                )
+            else:
+                n_ends, n_vids = self._scan_windows(scan_machine, new_data, w_b, w_e)
+                n_prios = prio_of[n_vids]
+                if composed:
+                    n_starts = np.fromiter(
+                        (
+                            utf8.skip_code_points_backwards(
+                                new_data, int(e) - 1, int(lencp_of[v]) - 1
+                            )
+                            for e, v in zip(n_ends, n_vids)
+                        ),
+                        np.int64,
+                        len(n_ends),
+                    )
+                else:
+                    n_starts = n_ends - lenb_of[n_vids]
+                # Keep only genuinely-new matches: those intersecting a
+                # replaced range (everything else is already carried).
+                j = np.searchsorted(new_r_ends, n_starts, side="right")
+                j_c = np.minimum(j, len(new_r_starts) - 1)
+                fresh = (
+                    (j < len(new_r_starts))
+                    & (new_r_starts[j_c] < n_ends)
+                    & (n_prios < threshold)
+                )
+                if fresh.any():
+                    starts = np.concatenate([starts, n_starts[fresh]])
+                    ends = np.concatenate([ends, n_ends[fresh]])
+                    vids = np.concatenate([vids, n_vids[fresh]])
+                    prios = np.concatenate([prios, n_prios[fresh]])
+                    order = np.argsort(ends, kind="stable")
+                    starts, ends = starts[order], ends[order]
+                    vids, prios = vids[order], prios[order]
+            data = new_data
+
+    @staticmethod
+    def _starts_vectorized(data, ends, vids, lenb_of, lencp_of, composed):
+        """Match starts for a full match list (one pass over the text)."""
+        if not composed:
+            return ends - lenb_of[vids]
+        if len(ends) == 0:
+            return np.zeros(0, dtype=np.int64)
+        arr = utf8.to_u8(data)
+        is_start = (arr & 0xC0) != 0x80
+        pos = np.flatnonzero(is_start)
+        ordinal = np.cumsum(is_start)
+        return pos[ordinal[ends - 1] - lencp_of[vids]]
+
+    def _scan_windows(self, scan_machine, data: bytes, w_b, w_e):
+        """Segmented hit scan over merged windows (native when available)."""
+        try:
+            cpp = self._window_cpp
+        except AttributeError:
+            try:
+                from .native.cpp_engine import CppAcEngine
+
+                cpp = CppAcEngine(scan_machine)
+            except Exception:
+                cpp = None
+            self._window_cpp = cpp
+        if cpp is not None:
+            return cpp.segments_matches_arrays(np.frombuffer(data, dtype=np.uint8), w_b, w_e)
+        return _scan_segments_py(scan_machine, data, w_b, w_e)
+
+
+#: Sentinel: the incremental engine declined (ineligible scan mode) and the
+#: caller should run the full-rescan loop instead.
+_FALLBACK = object()
+
+
+def _native_lib():
+    from .native import build
+
+    try:
+        return build.load()
+    except Exception:
+        return None
+
+
+def _remove_overlap(starts: np.ndarray, ends: np.ndarray):
+    """Leftmost-wins overlap removal on end-sorted matches
+    (``removeOverlap``, ``Replacer.hs:191-198``)."""
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    lib = _native_lib()
+    if lib is not None and len(starts):
+        ks = np.empty(len(starts), dtype=np.int64)
+        ke = np.empty(len(starts), dtype=np.int64)
+        k = int(
+            lib.am_remove_overlap(
+                starts.ctypes.data, ends.ctypes.data, len(starts), ks.ctypes.data, ke.ctypes.data
+            )
+        )
+        return ks[:k], ke[:k]
+    kept_s: List[int] = []
+    kept_e: List[int] = []
+    prev_end = -1
+    for s, e in zip(starts, ends):
+        if s >= prev_end:
+            kept_s.append(int(s))
+            kept_e.append(int(e))
+            prev_end = int(e)
+    return np.asarray(kept_s, dtype=np.int64), np.asarray(kept_e, dtype=np.int64)
+
+
+def _merge_windows(begin: np.ndarray, end: np.ndarray):
+    """Merge sorted, possibly overlapping [begin, end) windows (vectorized)."""
+    hi = np.maximum.accumulate(end)
+    new_seg = np.concatenate([[True], begin[1:] > hi[:-1]])
+    return begin[new_seg], np.maximum.reduceat(end, np.flatnonzero(new_seg))
+
+
+def _scan_segments_py(machine, data: bytes, seg_b, seg_e):
+    """Scalar segmented hit scan (native-library fallback)."""
+    delta, mc = machine.delta, machine.match_count
+    ends: List[int] = []
+    vids: List[int] = []
+    for b, e in zip(seg_b, seg_e):
+        s = 0
+        for i in range(int(b), int(e)):
+            s = delta[s, data[i]]
+            if mc[s]:
+                for v in machine.outputs(int(s)):
+                    ends.append(i + 1)
+                    vids.append(int(v))
+    return np.asarray(ends, dtype=np.int64), np.asarray(vids, dtype=np.int64)
 
 
 def _splice(data: bytes, starts: np.ndarray, ends: np.ndarray, replacement: bytes) -> bytes:
     """Replace non-overlapping [start, end) ranges (``replace``,
-    ``Replacer.hs:163-180``): slices plus one final concatenation."""
+    ``Replacer.hs:163-180``): one output allocation, native memcpy loop
+    when the helper library is available."""
+    lib = _native_lib()
+    if lib is not None and len(starts):
+        starts = np.ascontiguousarray(starts, dtype=np.int64)
+        ends = np.ascontiguousarray(ends, dtype=np.int64)
+        src = np.frombuffer(data, dtype=np.uint8)
+        repl = np.frombuffer(replacement, dtype=np.uint8)
+        out_len = len(data) + len(starts) * len(replacement) - int(np.sum(ends - starts))
+        out = np.empty(max(out_len, 1), dtype=np.uint8)
+        wrote = int(
+            lib.am_splice(
+                src.ctypes.data,
+                len(data),
+                starts.ctypes.data,
+                ends.ctypes.data,
+                len(starts),
+                repl.ctypes.data,
+                len(replacement),
+                out.ctypes.data,
+            )
+        )
+        return out[:wrote].tobytes()
     parts: List[bytes] = []
     prev = 0
     for s, e in zip(starts, ends):
