@@ -453,10 +453,14 @@ class MatchEngine:
         if backend == "xla":
             hits = self._xla_engine().state_hits(data)
             hit_states = np.flatnonzero(hits)
+        elif backend == "cpp":
+            # Hit-only scan: no per-position state array (4x the corpus).
+            _, value_ids = self._cpp_engine().matches_arrays(data)
+            present = np.zeros(len(m.values), dtype=bool)
+            present[np.unique(value_ids)] = True
+            return present
         else:
-            if backend == "cpp":
-                states = self._cpp_engine().final_states(data)
-            elif backend == "pallas":
+            if backend == "pallas":
                 eng = self._pallas_engine()
                 if hasattr(eng, "value_presence"):  # grouped multi-pass engine
                     return eng.value_presence(data, len(m.values))

@@ -149,6 +149,28 @@ class Searcher:
         done once); pass the result to any matching operation."""
         return self._engine.stage(haystack, self._case)
 
+    def distributed(self, mesh, inner: str = "auto"):
+        """A ``parallel.DistributedAcEngine`` scanning this searcher's
+        automaton over a ``(data, seq, needle)`` device mesh (counts via
+        ``psum``, match sets identical to single-chip for any mesh shape).
+
+        IgnoreCase searchers scan the RAW bytes with the composed
+        case-folding DFA (``models.case_dfa``), so the distributed layer
+        needs no lowering stage; this requires whole-code-point needles.
+        """
+        from .parallel import DistributedAcEngine
+
+        machine = self._machine
+        if self._case is IGNORE_CASE:
+            ci = self._engine._composed(self._case)
+            if ci is None:
+                raise ValueError(
+                    "IgnoreCase distributed scans need the composed case DFA "
+                    "(whole-code-point needles; see AMT_COMPOSED_CI)"
+                )
+            machine = ci.machine
+        return DistributedAcEngine(machine, mesh, inner=inner)
+
     def contains_any(self, haystack: utf8.TextLike) -> bool:
         """True iff any needle occurs (``containsAny``, ``Searcher.hs:156-164``)."""
         return self._engine.contains_any(haystack, self._case)

@@ -68,3 +68,28 @@ def test_positions_identical_across_mesh(machine, data, seq):
     assert [(int(e), int(v)) for e, v in zip(ends, vids)] == [
         (m.pos, m.value) for m in oracle
     ]
+
+
+def test_searcher_distributed_ignore_case(monkeypatch):
+    """Searcher.distributed under IGNORE_CASE scans RAW bytes with the
+    composed case DFA: mesh counts equal the local searcher's count."""
+    from alfred_margaret_tpu import IGNORE_CASE, Searcher
+    from alfred_margaret_tpu.engine import MatchEngine
+
+    monkeypatch.setattr(MatchEngine, "AUTO_COMPOSE_BYTES", 0)
+    s = Searcher.build(IGNORE_CASE, ["istanbul", "k", "straße"])
+    hay = "İstanbul KELVIN K strAẞE STRASSE straße filler ".encode() * 211
+    expected = s.count_matches(hay)
+    for data, seq in ((8, 1), (2, 4)):
+        mesh = make_mesh(jax.devices()[:8], data=data, seq=seq)
+        eng = s.distributed(mesh)
+        assert eng.count(hay) == expected
+        assert eng.contains_any(hay)
+
+
+def test_searcher_distributed_case_sensitive(machine):
+    from alfred_margaret_tpu import CASE_SENSITIVE, Searcher
+
+    s = Searcher.build(CASE_SENSITIVE, ["tshirt", "shirts", "shorts"])
+    mesh = make_mesh(jax.devices()[:8], data=4, seq=2)
+    assert s.distributed(mesh).count(CORPUS) == s.count_matches(CORPUS)
