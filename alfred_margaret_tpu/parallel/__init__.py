@@ -1,3 +1,1 @@
-from .shard import DistributedAcEngine, make_mesh
-
-__all__ = ["DistributedAcEngine", "make_mesh"]
+from .shard import DistributedAcEngine, init_distributed, make_mesh

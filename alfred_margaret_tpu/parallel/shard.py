@@ -38,6 +38,31 @@ from .xla_scan_local import local_scan_counts, local_scan_states
 from ..ops.xla_scan import StreamPlan, build_streams, plan_streams
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize multi-host JAX (``jax.distributed.initialize``) so a mesh
+    can span hosts — collectives ride ICI within a slice and DCN across
+    slices; corpus shards are per-host (each process feeds its own ``data``
+    rows), while ``psum`` counts are global (SURVEY.md §5.8: the TPU-native
+    stand-in for the comm backend the reference lacks).
+
+    No-op when already initialized or on a single process (the common
+    single-host case, where the in-process mesh covers all local chips).
+    Returns the number of processes.
+    """
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(coordinator_address, num_processes, process_id)
+        else:
+            jax.distributed.initialize()  # env-driven (TPU pod metadata)
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-process without coordinator
+    return jax.process_count()
+
+
 def make_mesh(
     devices=None, data: Optional[int] = None, seq: int = 1, needle: int = 1
 ) -> Mesh:
