@@ -300,10 +300,14 @@ class MatchEngine:
         (counting / existence) skips the raw-coordinate maps — a ~3x
         cheaper IgnoreCase transducer pass."""
         if isinstance(text, StagedHaystack):
-            if text.composed and case is CASE_SENSITIVE and text.owner is self.machine:
-                # Composed-CI staged haystack scanned by its owning composed
-                # engine: raw bytes, case-sensitive scan by construction.
-                return text.data, text.lowered
+            if text.composed:
+                # Composed-CI staged haystacks are only valid inside their
+                # owning composed engine (raw bytes + that machine's device
+                # staging); anywhere else the raw bytes would silently be
+                # scanned as if they were lowered bytes.
+                if case is CASE_SENSITIVE and text.owner is self.machine:
+                    return text.data, text.lowered
+                raise ValueError("staged haystack belongs to a different searcher")
             if text.case is not case:
                 raise ValueError("staged haystack was prepared for a different case mode")
             return text.data, text.lowered

@@ -53,13 +53,15 @@ def init_distributed(
     single-host case, where the in-process mesh covers all local chips).
     Returns the number of processes.
     """
-    try:
-        if coordinator_address is not None:
-            jax.distributed.initialize(coordinator_address, num_processes, process_id)
-        else:
+    if coordinator_address is not None:
+        # Explicit coordinator: a failure here means the job is NOT
+        # connected — propagate instead of silently running per-host.
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    else:
+        try:
             jax.distributed.initialize()  # env-driven (TPU pod metadata)
-    except (RuntimeError, ValueError):
-        pass  # already initialized, or single-process without coordinator
+        except (RuntimeError, ValueError):
+            pass  # already initialized, or single-process without coordinator
     return jax.process_count()
 
 
@@ -103,9 +105,15 @@ class DistributedAcEngine:
     (anywhere), or "auto".
     """
 
-    def __init__(self, machine: AcMachine, mesh: Mesh, inner: str = "auto"):
+    def __init__(self, machine: AcMachine, mesh: Mesh, inner: str = "auto", sub_build=None):
+        """``sub_build`` rebuilds a sub-automaton from (needle, value) pairs
+        when the needle axis partitions the machine; defaults to ``ac.build``.
+        Pass ``case_dfa.compose_build`` for composed IgnoreCase machines so
+        needle groups keep the case-folding composition (a plain rebuild
+        would silently produce case-sensitive scanners)."""
         self.machine = machine
         self.mesh = mesh
+        self._sub_build = sub_build if sub_build is not None else ac.build
         axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
         self.n_stream_shards = axis_sizes.get("data", 1) * axis_sizes.get("seq", 1)
         self.n_needle_groups = axis_sizes.get("needle", 1)
@@ -124,7 +132,7 @@ class DistributedAcEngine:
         if self.n_needle_groups > 1:
             vid_groups = _balanced_groups(machine, self.n_needle_groups)
             self.sub_machines = [
-                ac.build([(machine.needles[v], machine.values[v]) for v in vids])
+                self._sub_build([(machine.needles[v], machine.values[v]) for v in vids])
                 for vids in vid_groups
             ]
         else:

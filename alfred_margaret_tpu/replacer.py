@@ -285,9 +285,13 @@ class Replacer:
         searcher = self.searcher
         case = searcher.case_sensitivity
         eng = searcher._engine
+        # Decide eligibility BEFORE scanning: the non-composed IgnoreCase
+        # path must not pay a full coordinate-map scan just to fall back.
+        if case is IGNORE_CASE and eng._composed(case, data) is None:
+            return _FALLBACK
         ms = eng.matches(data, case)
         if case is IGNORE_CASE and ms.lowered is not None:
-            return _FALLBACK
+            return _FALLBACK  # defensive; _composed above should agree
         composed = case is IGNORE_CASE
         scan_machine = eng._ci.machine if composed else eng.machine
         maxlen = max(1, scan_machine.max_needle_bytes)
@@ -428,12 +432,8 @@ _FALLBACK = object()
 
 
 def _native_lib():
-    from .native import build
-
-    try:
-        return build.load()
-    except Exception:
-        return None
+    # utf8's loader caches and honors AMT_NO_NATIVE.
+    return utf8._native_lib()
 
 
 def _remove_overlap(starts: np.ndarray, ends: np.ndarray):

@@ -161,6 +161,7 @@ class Searcher:
         from .parallel import DistributedAcEngine
 
         machine = self._machine
+        sub_build = None
         if self._case is IGNORE_CASE:
             ci = self._engine._composed(self._case)
             if ci is None:
@@ -169,7 +170,10 @@ class Searcher:
                     "(whole-code-point needles; see AMT_COMPOSED_CI)"
                 )
             machine = ci.machine
-        return DistributedAcEngine(machine, mesh, inner=inner)
+            from .models import case_dfa
+
+            sub_build = case_dfa.compose_build  # needle groups stay composed
+        return DistributedAcEngine(machine, mesh, inner=inner, sub_build=sub_build)
 
     def contains_any(self, haystack: utf8.TextLike) -> bool:
         """True iff any needle occurs (``containsAny``, ``Searcher.hs:156-164``)."""

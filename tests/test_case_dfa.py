@@ -179,3 +179,17 @@ class TestEngineIntegration:
         assert s.count_matches("ABC abc") == 2
         # The composed engine was not built for a tiny one-shot input.
         assert s._engine._ci is False
+
+
+class TestStagedOwnership:
+    def test_composed_staged_rejected_by_other_searcher(self, monkeypatch):
+        """A composed staged haystack must not be scanned by a different
+        searcher (its raw bytes would be treated as lowered bytes)."""
+        _forced(monkeypatch)
+        s1 = Searcher.build(IGNORE_CASE, ["kavak", "k"], engine="python")
+        st = s1.stage("KAVAK and kavak K")
+        s2 = Searcher.build(IGNORE_CASE, ["kavak", "k"], engine="python")
+        with pytest.raises(ValueError):
+            s2.count_matches(st)
+        # The owner still accepts it.
+        assert s1.count_matches(st) == s1.count_matches("KAVAK and kavak K")

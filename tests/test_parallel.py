@@ -93,3 +93,18 @@ def test_searcher_distributed_case_sensitive(machine):
     s = Searcher.build(CASE_SENSITIVE, ["tshirt", "shirts", "shorts"])
     mesh = make_mesh(jax.devices()[:8], data=4, seq=2)
     assert s.distributed(mesh).count(CORPUS) == s.count_matches(CORPUS)
+
+
+def test_searcher_distributed_ignore_case_needle_axis(monkeypatch):
+    """Needle-axis partitioning must keep the case-folding composition:
+    sub-machines rebuilt case-sensitively would silently drop every
+    uppercase match (regression)."""
+    from alfred_margaret_tpu import IGNORE_CASE, Searcher
+    from alfred_margaret_tpu.engine import MatchEngine
+
+    monkeypatch.setattr(MatchEngine, "AUTO_COMPOSE_BYTES", 0)
+    s = Searcher.build(IGNORE_CASE, ["tshirt", "k", "straße"])
+    hay = "TShirts KELVIN K strAẞE straße filler ".encode() * 113
+    expected = s.count_matches(hay)
+    mesh = make_mesh(jax.devices()[:8], data=2, seq=2, needle=2)
+    assert s.distributed(mesh).count(hay) == expected
