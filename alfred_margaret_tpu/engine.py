@@ -45,8 +45,8 @@ AUTO_PYTHON_THRESHOLD = 4096
 
 #: Under "auto" on TPU hosts, inputs below this size stay on the host C++
 #: engine (device launch + staging overhead exceeds the scan time; the
-#: break-even vs the ~0.4 GB/s host engine sits around 10 MiB when launches
-#: cost tens of ms).
+#: break-even vs the multi-GB/s interleaved host engine sits around 10 MiB
+#: when launches cost tens of ms).
 AUTO_DEVICE_THRESHOLD = 8 << 20
 
 _VALID_ENGINES = ("auto", "python", "xla", "pallas", "cpp")
@@ -206,9 +206,9 @@ class MatchEngine:
     #: Under "auto", automata whose group passes sum to more than this many
     #: physical table rows run on the multithreaded C++ engine instead: the
     #: kernel's sustained rate is ~165/rows GB/s per pass (gather-bound
-    #: select chain), so past ~200 summed rows the device drops below the
-    #: ~0.8 GB/s multithreaded host engine.
-    AUTO_MAX_TOTAL_ROWS = 200
+    #: select chain), while the interleaved host engine sustains ~2.5-3
+    #: GB/s on mid-tier automata — past ~56 summed rows the host wins.
+    AUTO_MAX_TOTAL_ROWS = 56
 
     def _pallas_total_rows(self) -> int:
         """Summed physical rows across the adaptive group plan (1 group for
@@ -268,7 +268,7 @@ class MatchEngine:
 
         if jax.default_backend() in ("tpu", "axon"):
             # The Pallas kernel dominates the XLA scan on real TPU hardware
-            # (~165 GB/s vs ~0.4 GB/s measured), but (a) per-launch overhead
+            # (~165 GB/s vs ~0.4 GB/s XLA-scan measured), but (a) per-launch overhead
             # makes it a loss below ~1 MiB, (b) its rate divides by the
             # needle-group pass count for huge automata, and (c) a one-shot
             # scan pays the host->device corpus transfer, which on slow
