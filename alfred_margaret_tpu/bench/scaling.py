@@ -69,19 +69,26 @@ def main(argv=None) -> int:
         bps = len(data) / best
         if base_bps is None:
             base_bps = bps
-        print(
-            json.dumps(
-                {
-                    "devices": n_dev,
-                    "corpus_mb": mb_per_device * n_dev,
-                    "count": expected,
-                    "seconds": round(best, 4),
-                    "bytes_per_sec": round(bps, 1),
-                    "weak_scaling_efficiency": round(bps / (base_bps * n_dev), 4),
-                }
-            ),
-            flush=True,
-        )
+        import jax
+
+        # Virtual CPU meshes (xla_force_host_platform_device_count) share
+        # the host's physical cores, so weak-scaling efficiency CANNOT show
+        # there — time grows ~linearly by construction.  Flag the rows so
+        # the numbers are not mistaken for a hardware scaling result; real
+        # efficiency requires one process per real chip group.
+        virtual = jax.default_backend() == "cpu"
+        row = {
+            "devices": n_dev,
+            "corpus_mb": mb_per_device * n_dev,
+            "count": expected,
+            "seconds": round(best, 4),
+            "bytes_per_sec": round(bps, 1),
+            "weak_scaling_efficiency": round(bps / (base_bps * n_dev), 4),
+        }
+        if virtual:
+            row["virtual_mesh"] = True
+            row["per_device_throughput_ratio"] = round(bps / base_bps, 4)
+        print(json.dumps(row), flush=True)
     return 0
 
 

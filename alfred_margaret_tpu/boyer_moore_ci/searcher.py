@@ -71,7 +71,9 @@ class Searcher:
         """Any needle occurs case-insensitively (``BoyerMooreCI/Searcher.hs:98-105``).
         Empty needles never match."""
         data = utf8.to_bytes(haystack)
-        if len(data) > AC_ROUTE_THRESHOLD and self.num_needles > 1:
+        if len(data) > AC_ROUTE_THRESHOLD and self.num_needles >= 1:
+            # Also for a single needle: the AC route scans raw bytes with
+            # the composed case DFA, skipping the lowering pass entirely.
             return self._ac_searcher().contains_any(data)
         lowered = utf8.lower_transform(data).lowered.tobytes()
         return any(
@@ -81,7 +83,7 @@ class Searcher:
 
     def contains_all(self, haystack: utf8.TextLike) -> bool:
         data = utf8.to_bytes(haystack)
-        if len(data) > AC_ROUTE_THRESHOLD and self.num_needles > 1:
+        if len(data) > AC_ROUTE_THRESHOLD and self.num_needles >= 1:
             return self._ac_searcher().contains_all(data)
         lowered = utf8.lower_transform(data).lowered.tobytes()
         return all(
