@@ -60,6 +60,19 @@ def _has_device(text) -> bool:
     return isinstance(text, StagedHaystack) and text.device is not None
 
 
+def _jax_backend() -> str:
+    """The default JAX backend, or "none" when the JAX runtime cannot
+    initialize at all (missing accelerator plugin, dead relay): the
+    dispatcher then serves from the jax-free host engines instead of
+    crashing."""
+    try:
+        import jax
+
+        return jax.default_backend()
+    except Exception:
+        return "none"
+
+
 @dataclass
 class StagedHaystack:
     """A haystack prepared for repeated scans (see ``MatchEngine.stage``).
@@ -182,9 +195,7 @@ class MatchEngine:
 
     def _pallas_engine(self):
         if self._pallas is None:
-            import jax
-
-            if jax.default_backend() not in ("tpu", "axon"):
+            if _jax_backend() not in ("tpu", "axon"):
                 # Mosaic kernels need TPU hardware; honor the documented
                 # fallback instead of erroring on CPU-only hosts.
                 return self._xla_engine()
@@ -264,9 +275,15 @@ class MatchEngine:
             return self.engine
         if n_bytes < AUTO_PYTHON_THRESHOLD:
             return "python"
-        import jax
-
-        if jax.default_backend() in ("tpu", "axon"):
+        backend = _jax_backend()
+        if backend == "none":
+            # JAX runtime unusable: host engines only.
+            try:
+                self._cpp_engine()
+                return "cpp"
+            except Exception:
+                return "python"
+        if backend in ("tpu", "axon"):
             # The Pallas kernel dominates the XLA scan on real TPU hardware
             # (~165 GB/s vs ~0.4 GB/s XLA-scan measured), but (a) per-launch overhead
             # makes it a loss below ~1 MiB, (b) its rate divides by the

@@ -149,3 +149,23 @@ class TestStagedHaystack:
         st = s_ci.stage("ABab" * 2000)
         with _pytest.raises(ValueError):
             s_cs.count_matches(st)
+
+
+def test_broken_jax_runtime_falls_back_to_host(tmp_path):
+    """With an uninitializable JAX backend (bad plugin/platform), auto
+    dispatch must degrade to the jax-free host engines, not crash."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from alfred_margaret_tpu import CASE_SENSITIVE, Searcher\n"
+        "s = Searcher.build(CASE_SENSITIVE, ['tshirt'])\n"
+        "print(s.count_matches(b'xx tshirt yy ' * 50000))\n"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {"PATH": os.environ.get("PATH", "/usr/bin:/bin"), "HOME": os.environ.get("HOME", "/root"),
+           "JAX_PLATFORMS": "definitely_not_a_backend"}
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert r.stdout.strip() == "50000"
