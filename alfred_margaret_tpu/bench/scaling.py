@@ -69,8 +69,6 @@ def main(argv=None) -> int:
         bps = len(data) / best
         if base_bps is None:
             base_bps = bps
-        import jax
-
         # Virtual CPU meshes (xla_force_host_platform_device_count) share
         # the host's physical cores, so weak-scaling efficiency CANNOT show
         # there — time grows ~linearly by construction.  Flag the rows so
@@ -87,7 +85,7 @@ def main(argv=None) -> int:
         }
         if virtual:
             row["virtual_mesh"] = True
-            row["per_device_throughput_ratio"] = round(bps / base_bps, 4)
+            row["aggregate_throughput_ratio"] = round(bps / base_bps, 4)
         print(json.dumps(row), flush=True)
     return 0
 

@@ -43,10 +43,13 @@ from .utils.case import CASE_SENSITIVE, IGNORE_CASE, CaseSensitivity
 #: (device dispatch overhead dominates below it).
 AUTO_PYTHON_THRESHOLD = 4096
 
-#: Under "auto" on TPU hosts, inputs below this size stay on the host C++
-#: engine (device launch + staging overhead exceeds the scan time; the
-#: break-even vs the multi-GB/s interleaved host engine sits around 10 MiB
-#: when launches cost tens of ms).
+#: Under "auto" on TPU hosts, one-shot inputs below this size stay on the
+#: host C++ engine.  Break-even vs the ~2.5-6 GB/s interleaved host engine:
+#: the device wins when n/host_rate exceeds launch + transfer + n/165G,
+#: i.e. n > launch_latency * host_rate ≈ 3 MiB at ~1 ms real-host launch
+#: latency; 8 MiB is conservatively above that.  Hosts with slow staging
+#: links are routed to the host engine separately (_staging_is_fast), so
+#: this constant only needs to cover the fast-PCIe case.
 AUTO_DEVICE_THRESHOLD = 8 << 20
 
 _VALID_ENGINES = ("auto", "python", "xla", "pallas", "cpp")

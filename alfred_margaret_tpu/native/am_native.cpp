@@ -13,6 +13,7 @@
 // Built with: g++ -O3 -std=c++17 -shared -fPIC (see build.py). Plain C ABI,
 // loaded via ctypes.
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -59,14 +60,21 @@ int32_t am_scan_states(const int32_t* delta, int32_t n_states,
 // out-of-order window hides load latency: ~3.5x one chain on this host.
 // ``emit(k, i, state)`` is called for every emitted byte; within one
 // substream k the positions are ascending.
+static constexpr int kInterleave = 8;
+
 template <typename F>
 static inline void scan_interleaved(const int32_t* delta, const uint8_t* data,
                                     int64_t emit_begin, int64_t emit_end,
                                     int64_t overlap, F&& emit) {
-  constexpr int K = 8;
+  constexpr int K = kInterleave;
   int64_t n = emit_end - emit_begin;
   if (n <= 0) return;
-  if (n < K * 1024) {
+  // Serial when the region is small OR the warm-up would dominate: each of
+  // the K substreams re-derives state from `overlap` bytes, so K-way
+  // interleaving costs K*overlap extra scanned bytes per region (a
+  // long-needle machine with overlap ~ n/K would scan several times the
+  // region).
+  if (n < K * std::max<int64_t>(1024, 4 * overlap)) {
     int64_t w = emit_begin - overlap;
     if (w < 0) w = 0;
     int32_t s = 0;
@@ -194,7 +202,7 @@ int64_t am_scan_hits_mt(const int32_t* delta, const int32_t* match_count,
       if (emit_begin >= n) return;
       // Per-substream vectors keep positions ascending under interleaving;
       // concatenating them in k order restores the thread's order.
-      std::vector<std::pair<int64_t, int32_t>> sub[8];
+      std::vector<std::pair<int64_t, int32_t>> sub[kInterleave];
       scan_interleaved(delta, data, emit_begin, emit_end, overlap,
                        [&](int k, int64_t i, int32_t s) {
                          if (match_count[s] > 0) sub[k].emplace_back(i + 1, s);

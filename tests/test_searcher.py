@@ -151,21 +151,18 @@ class TestStagedHaystack:
             s_cs.count_matches(st)
 
 
-def test_broken_jax_runtime_falls_back_to_host(tmp_path):
-    """With an uninitializable JAX backend (bad plugin/platform), auto
-    dispatch must degrade to the jax-free host engines, not crash."""
-    import os
-    import subprocess
-    import sys
+def test_broken_jax_runtime_falls_back_to_host(monkeypatch):
+    """When the JAX runtime cannot initialize (engine._jax_backend reports
+    "none"), auto dispatch must degrade to the jax-free host engines, not
+    crash.  The failure is injected in-process — a bogus JAX_PLATFORMS
+    subprocess would be vacuous on hosts whose accelerator plugin ignores
+    the env var (this machine's does)."""
+    from alfred_margaret_tpu import engine as engine_mod
+    from alfred_margaret_tpu.searcher import Searcher
 
-    code = (
-        "import sys; sys.path.insert(0, %r)\n"
-        "from alfred_margaret_tpu import CASE_SENSITIVE, Searcher\n"
-        "s = Searcher.build(CASE_SENSITIVE, ['tshirt'])\n"
-        "print(s.count_matches(b'xx tshirt yy ' * 50000))\n"
-    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = {"PATH": os.environ.get("PATH", "/usr/bin:/bin"), "HOME": os.environ.get("HOME", "/root"),
-           "JAX_PLATFORMS": "definitely_not_a_backend"}
-    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, env=env)
-    assert r.returncode == 0, r.stderr[-500:]
-    assert r.stdout.strip() == "50000"
+    monkeypatch.setattr(engine_mod, "_jax_backend", lambda: "none")
+    s = Searcher.build(CASE_SENSITIVE, ["tshirt"])
+    data = b"xx tshirt yy " * 50000
+    backend = s._engine._pick(len(data))
+    assert backend in ("cpp", "python")
+    assert s.count_matches(data) == 50000
