@@ -402,9 +402,9 @@ class MatchEngine:
                 return ac.Done(True)
 
             return bool(ac.run_text(False, first, self.machine, data))
-        # No early exit on device, still one pass.
         if backend == "cpp":
-            return self._cpp_engine().count(data) > 0
+            # Host early exit: stop at the first hit (Done True semantics).
+            return self._cpp_engine().first_hit(data) >= 0
         if backend == "pallas":
             from .ops.pallas_scan import CapacityError
 
@@ -478,11 +478,9 @@ class MatchEngine:
             hits = self._xla_engine().state_hits(data)
             hit_states = np.flatnonzero(hits)
         elif backend == "cpp":
-            # Hit-only scan: no per-position state array (4x the corpus).
-            _, value_ids = self._cpp_engine().matches_arrays(data)
-            present = np.zeros(len(m.values), dtype=bool)
-            present[np.unique(value_ids)] = True
-            return present
+            # Native presence scan with the containsAll early exit: stops
+            # as soon as every value has been seen.
+            return self._cpp_engine().value_presence(data, len(m.values))
         else:
             if backend == "pallas":
                 eng = self._pallas_engine()

@@ -178,6 +178,105 @@ void am_scan_states_mt(const int32_t* delta, int32_t n_states,
   for (auto& th : threads) th.join();
 }
 
+// First-hit scan: the host analogue of the reference's `Done True`
+// early-exit fold (containsAny, Searcher.hs:156-164).  Parallel chunks
+// with overlap warm-up; every thread aborts as soon as any thread finds a
+// hit.  Returns the byte position one past the first match in its chunk
+// ordering (threads may overshoot to a later chunk's hit only when an
+// earlier chunk has none), or -1 when there is no match anywhere.
+int64_t am_scan_first_hit(const int32_t* delta, const int32_t* match_count,
+                          const uint8_t* data, int64_t n, int64_t overlap,
+                          int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n < (int64_t)n_threads * 4096) n_threads = 1;
+  std::atomic<bool> found(false);
+  std::vector<int64_t> first(n_threads, -1);
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      int64_t emit_begin = (int64_t)t * chunk;
+      int64_t emit_end = emit_begin + chunk;
+      if (emit_end > n) emit_end = n;
+      if (emit_begin >= n) return;
+      int64_t start = emit_begin - overlap;
+      if (start < 0) start = 0;
+      int32_t state = 0;
+      for (int64_t i = start; i < emit_end; i++) {
+        state = delta[(int64_t)state * 256 + data[i]];
+        if (i >= emit_begin && match_count[state] > 0) {
+          first[t] = i + 1;
+          found.store(true, std::memory_order_relaxed);
+          return;
+        }
+        if ((i & 0xFFF) == 0 && found.load(std::memory_order_relaxed) &&
+            i >= emit_begin)
+          return;  // an earlier-or-later chunk already found one
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < n_threads; t++)
+    if (first[t] >= 0) return first[t];
+  return -1;
+}
+
+// All-values scan: the host analogue of the reference's containsAll early
+// exit (unseen-needle IntSet emptying, Searcher.hs:173-187).  Each thread
+// tracks seen value ids in a local bitmap, merges into a shared atomic
+// bitmap every 64 KiB, and every thread stops once the shared count hits
+// n_values.  Writes the final seen bitmap (bytes, 0/1) to out_seen;
+// returns the number of distinct values seen.
+int64_t am_scan_all_values(const int32_t* delta, const int32_t* match_count,
+                           const int32_t* out_offset, const int32_t* out_values,
+                           int32_t n_values, const uint8_t* data, int64_t n,
+                           int64_t overlap, int32_t n_threads,
+                           uint8_t* out_seen) {
+  if (n_threads < 1) n_threads = 1;
+  if (n < (int64_t)n_threads * 4096) n_threads = 1;
+  std::vector<std::atomic<uint8_t>> shared(n_values);
+  for (auto& b : shared) b.store(0, std::memory_order_relaxed);
+  std::atomic<int32_t> n_seen(0);
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      int64_t emit_begin = (int64_t)t * chunk;
+      int64_t emit_end = emit_begin + chunk;
+      if (emit_end > n) emit_end = n;
+      if (emit_begin >= n) return;
+      int64_t start = emit_begin - overlap;
+      if (start < 0) start = 0;
+      std::vector<uint8_t> local(n_values, 0);
+      auto merge = [&]() {
+        for (int32_t v = 0; v < n_values; v++) {
+          if (local[v] && !shared[v].exchange(1, std::memory_order_relaxed))
+            n_seen.fetch_add(1, std::memory_order_relaxed);
+        }
+      };
+      int32_t state = 0;
+      int64_t next_check = emit_begin + 65536;
+      for (int64_t i = start; i < emit_end; i++) {
+        state = delta[(int64_t)state * 256 + data[i]];
+        if (i >= emit_begin && match_count[state] > 0) {
+          for (int32_t o = out_offset[state]; o < out_offset[state + 1]; o++)
+            local[out_values[o]] = 1;
+        }
+        if (i >= next_check) {
+          next_check = i + 65536;
+          merge();
+          if (n_seen.load(std::memory_order_relaxed) >= n_values) return;
+        }
+      }
+      merge();
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int32_t v = 0; v < n_values; v++)
+    out_seen[v] = shared[v].load(std::memory_order_relaxed);
+  return n_seen.load(std::memory_order_relaxed);
+}
+
 // Hit-only scan: append (position one past the match end, state) for every
 // byte whose post-byte state has match_count > 0.  Skips materializing the
 // full per-position state array (matches are typically ~1% of positions) —

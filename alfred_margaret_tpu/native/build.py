@@ -111,6 +111,28 @@ def load() -> ctypes.CDLL:
             ctypes.c_void_p,  # out_state
             ctypes.c_int64,  # cap
         ]
+        lib.am_scan_first_hit.restype = ctypes.c_int64
+        lib.am_scan_first_hit.argtypes = [
+            ctypes.c_void_p,  # delta
+            ctypes.c_void_p,  # match_count
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,  # n
+            ctypes.c_int64,  # overlap
+            ctypes.c_int32,  # n_threads
+        ]
+        lib.am_scan_all_values.restype = ctypes.c_int64
+        lib.am_scan_all_values.argtypes = [
+            ctypes.c_void_p,  # delta
+            ctypes.c_void_p,  # match_count
+            ctypes.c_void_p,  # out_offset
+            ctypes.c_void_p,  # out_values
+            ctypes.c_int32,  # n_values
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,  # n
+            ctypes.c_int64,  # overlap
+            ctypes.c_int32,  # n_threads
+            ctypes.c_void_p,  # out_seen
+        ]
         lib.am_scan_segments_hits.restype = ctypes.c_int64
         lib.am_scan_segments_hits.argtypes = [
             ctypes.c_void_p,  # delta

@@ -97,6 +97,51 @@ class CppAcEngine:
 
         return expand_hits(self.machine, pos[:total], st[:total])
 
+    def first_hit(self, text: utf8.TextLike, n_threads: Optional[int] = None) -> int:
+        """Byte position one past the first match, or -1 — the host
+        analogue of the reference's ``Done True`` early exit
+        (``Searcher.hs:156-164``): the scan stops at the first hit."""
+        data = np.ascontiguousarray(utf8.to_u8(text))
+        if len(data) == 0:
+            return -1
+        nt = self.n_threads if n_threads is None else n_threads
+        return int(
+            self.lib.am_scan_first_hit(
+                self.delta.ctypes.data,
+                self.match_count.ctypes.data,
+                data.ctypes.data,
+                len(data),
+                self.overlap,
+                nt,
+            )
+        )
+
+    def value_presence(self, text: utf8.TextLike, n_values: int,
+                       n_threads: Optional[int] = None) -> np.ndarray:
+        """bool [n_values] presence bitmap; the scan stops early once every
+        value has been seen (the reference's containsAll unseen-set early
+        exit, ``Searcher.hs:173-187``)."""
+        data = np.ascontiguousarray(utf8.to_u8(text))
+        seen = np.zeros(max(n_values, 1), dtype=np.uint8)
+        if len(data) == 0 or n_values == 0:
+            return seen.astype(bool)[:n_values]
+        nt = self.n_threads if n_threads is None else n_threads
+        out_offset = np.ascontiguousarray(self.machine.out_offset, dtype=np.int32)
+        out_values = np.ascontiguousarray(self.machine.out_values, dtype=np.int32)
+        self.lib.am_scan_all_values(
+            self.delta.ctypes.data,
+            self.match_count.ctypes.data,
+            out_offset.ctypes.data,
+            out_values.ctypes.data,
+            n_values,
+            data.ctypes.data,
+            len(data),
+            self.overlap,
+            nt,
+            seen.ctypes.data,
+        )
+        return seen.astype(bool)
+
     def segments_matches_arrays(self, data: np.ndarray, seg_begin: np.ndarray, seg_end: np.ndarray):
         """(ends, value_ids) of scanning each ``[begin, end)`` segment of
         ``data`` independently (state resets to root per segment), reference

@@ -84,3 +84,27 @@ def test_hits_scan_parity():
         got = eng.matches_arrays(hay, n_threads=nt)
         assert np.array_equal(got[0], want[0]) and np.array_equal(got[1], want[1])
     assert eng.matches_arrays(b"")[0].shape == (0,)
+
+
+def test_first_hit_and_value_presence():
+    """Native early-exit scans: first_hit (containsAny Done True) and
+    value_presence (containsAll unseen-set) must be exact."""
+    import numpy as np
+    import pytest
+
+    from alfred_margaret_tpu.models import ac
+
+    try:
+        from alfred_margaret_tpu.native.cpp_engine import CppAcEngine
+
+        m = ac.build([(b"ab", 0), (b"bc", 1), (b"zz", 2)])
+        eng = CppAcEngine(m)
+    except Exception:
+        pytest.skip("native library unavailable")
+    data = np.frombuffer(b"xxabcxx" + b"y" * 100000 + b"zz", dtype=np.uint8)
+    assert eng.first_hit(data) == 4  # 'ab' ends at 4
+    assert eng.first_hit(np.frombuffer(b"yyy", dtype=np.uint8)) == -1
+    pres = eng.value_presence(data, 3)
+    assert pres.tolist() == [True, True, True]
+    pres2 = eng.value_presence(np.frombuffer(b"xxabcxx", dtype=np.uint8), 3)
+    assert pres2.tolist() == [True, True, False]
