@@ -178,12 +178,12 @@ void am_scan_states_mt(const int32_t* delta, int32_t n_states,
   for (auto& th : threads) th.join();
 }
 
-// First-hit scan: the host analogue of the reference's `Done True`
+// Any-hit scan: the host analogue of the reference's `Done True`
 // early-exit fold (containsAny, Searcher.hs:156-164).  Parallel chunks
 // with overlap warm-up; every thread aborts as soon as any thread finds a
-// hit.  Returns the byte position one past the first match in its chunk
-// ordering (threads may overshoot to a later chunk's hit only when an
-// earlier chunk has none), or -1 when there is no match anywhere.
+// hit, so the returned position is one past SOME match (an aborting
+// earlier chunk may skip its own) — callers use it as an existence test.
+// Returns -1 when there is no match anywhere.
 int64_t am_scan_first_hit(const int32_t* delta, const int32_t* match_count,
                           const uint8_t* data, int64_t n, int64_t overlap,
                           int32_t n_threads) {

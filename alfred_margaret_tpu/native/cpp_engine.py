@@ -98,9 +98,10 @@ class CppAcEngine:
         return expand_hits(self.machine, pos[:total], st[:total])
 
     def first_hit(self, text: utf8.TextLike, n_threads: Optional[int] = None) -> int:
-        """Byte position one past the first match, or -1 — the host
+        """Byte position one past SOME match, or -1 when none — the host
         analogue of the reference's ``Done True`` early exit
-        (``Searcher.hs:156-164``): the scan stops at the first hit."""
+        (``Searcher.hs:156-164``): all threads stop as soon as any finds a
+        hit, so the position is an existence witness, not the leftmost."""
         data = np.ascontiguousarray(utf8.to_u8(text))
         if len(data) == 0:
             return -1

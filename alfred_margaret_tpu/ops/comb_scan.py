@@ -62,6 +62,7 @@ from .pallas_scan import (
     _class_of,
     _classmap_wpairs,
     _StickyView,
+    _fit_unroll,
 )
 
 BASE_BITS = 13
@@ -676,7 +677,10 @@ class CombPallasAcEngine(PallasAcEngine):
             st.bscal, self._classmap_dev, self._comb_dev, self._def_dev,
             st.warm_t, st.vend_t, st.streams_dev,
         )
-        return int(np.asarray(counts, dtype=np.int64).sum())
+        counts = np.asarray(counts, dtype=np.int64)
+        if st.live_np is not None:
+            counts = counts[st.live_np]
+        return int(counts.sum())
 
     # -- existence (sticky) -------------------------------------------------
 
@@ -706,7 +710,7 @@ class CombPallasAcEngine(PallasAcEngine):
             C = self._consts(cm)
             n_tiles = T // self.t_tile
             rt = cm.rows_total
-            unroll = 8 if rt <= 8 else (4 if rt <= 16 else 2)
+            unroll = _fit_unroll(8 if rt <= 8 else (4 if rt <= 16 else 2), self.t_tile)
             kernel = _make_comb_contains_kernel(
                 self.t_tile, self.R, C, n_tiles, unroll, reps,
                 fold=c["fold"], wpairs=c["wpairs"],
@@ -749,6 +753,8 @@ class CombPallasAcEngine(PallasAcEngine):
         out = np.asarray(
             fn(st.bscal, c["cm"], c["comb_dev"], c["def_dev"], st.vend_t, st.streams_dev)
         )
+        if st.live_np is not None:
+            out = out[st.live_np]
         return bool((out == c["absorb_base"]).any())
 
     # -- per-position states -------------------------------------------------
@@ -758,7 +764,7 @@ class CombPallasAcEngine(PallasAcEngine):
         if key not in self._states_fn:
             t_tile = self._states_t_tile()
             n_tiles = T // t_tile
-            unroll = min(self.unroll, t_tile)
+            unroll = _fit_unroll(self.unroll, t_tile)
             C = self._consts(self.comb)
             kernel = _make_comb_states_kernel(
                 t_tile, self.R, C, unroll, fold=self._fold, wpairs=self._wpairs

@@ -226,6 +226,10 @@ class GroupedPallasAcEngine:
                     else:
                         seen[n] = len(per_needle)
                         per_needle.append([v])
+                if len(per_needle) == 1:
+                    # One unique needle (possibly duplicated vids): cannot
+                    # split further — a 50/50 split would recurse forever.
+                    raise
                 mid = max(1, len(per_needle) // 2)
                 add_group([v for g in per_needle[:mid] for v in g])
                 add_group([v for g in per_needle[mid:] for v in g])

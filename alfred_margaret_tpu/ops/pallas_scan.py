@@ -67,6 +67,43 @@ class CapacityError(ValueError):
     """Automaton too large for the Pallas kernel's table budget."""
 
 
+def _fit_unroll(unroll: int, t_tile: int) -> int:
+    """Largest unroll <= the requested one that divides t_tile (a
+    non-dividing unroll would silently skip t_tile % unroll steps per
+    tile in the fori_loop(t_tile // unroll) bodies)."""
+    unroll = max(1, min(unroll, t_tile))
+    while t_tile % unroll:
+        unroll -= 1
+    return unroll
+
+
+def _zero_inert(machine) -> bool:
+    """True when scanning right-padding zeros is a no-op for the machine:
+    byte 0 drives every state to the root and the root emits nothing —
+    holds unless some needle contains NUL (or the empty needle).  Then
+    only warm-up masking is ever needed and the valid-end freeze can be
+    disabled entirely (pad bytes count 0 and can never create a match or
+    absorption), which keeps the interior-tile fast path active even for
+    corpora that do not exactly fill the stream grid."""
+    return bool((machine.delta[:, 0] == 0).all()) and int(machine.match_count[0]) == 0
+
+
+def _boundary_scalars(warm: np.ndarray, vend: np.ndarray, zero_inert: bool) -> np.ndarray:
+    """[max warm, freeze boundary] for the interior-tile fast path.
+
+    With an inert zero byte the freeze boundary is +inf (pads are no-ops).
+    Otherwise (NUL-containing needles) the minimum vend over live streams
+    bounds the unmasked region; fully padded streams (vend == 0) are
+    excluded — they are frozen by masked tiles and nulled at reduction."""
+    if zero_inert:
+        return np.array([int(warm.max()) if len(warm) else 0, 1 << 30], dtype=np.int32)
+    nz = vend[vend > 0]
+    return np.array(
+        [int(warm.max()) if len(warm) else 0, int(nz.min()) if len(nz) else 0],
+        dtype=np.int32,
+    )
+
+
 @dataclass
 class CompressedMachine:
     """Byte-class-compressed, packed automaton arrays (host side)."""
@@ -512,6 +549,10 @@ class StagedStreams:
     warm_t: Any  # [R, 128] int32 device
     vend_t: Any  # [R, 128] int32 device
     bscal: Any  # [2] int32 device (SMEM boundary scalars)
+    #: bool [R, 128]: streams with any emission.  Interior (unmasked) tiles
+    #: scan fully-padded streams' zero windows live, so their counts and
+    #: sticky absorbs are garbage and must be excluded at reduction.
+    live_np: Any = None
 
 
 class PallasAcEngine:
@@ -673,7 +714,7 @@ class PallasAcEngine:
         if key not in self._states_fn:
             t_tile = self._states_t_tile()
             n_tiles = T // t_tile
-            unroll = min(self.unroll, t_tile)
+            unroll = _fit_unroll(self.unroll, t_tile)
             kernel = _make_states_kernel(
                 t_tile,
                 self.R,
@@ -717,9 +758,7 @@ class PallasAcEngine:
         warm_t = jnp.asarray(warm.reshape(self.R, 128))
         vend_t = jnp.asarray(vend.reshape(self.R, 128))
         # Boundary scalars for the interior-tile fast path (SMEM).
-        bscal = jnp.asarray(
-            np.array([warm.max(), vend.min()], dtype=np.int32)
-        )
+        bscal = jnp.asarray(_boundary_scalars(warm, vend, _zero_inert(self.machine)))
         return streams_u8, warm_t, vend_t, bscal
 
     # -- public ops --------------------------------------------------------
@@ -738,7 +777,7 @@ class PallasAcEngine:
             time_len=T,
         )
         streams_dev, warm, vend = stage_streams_device(data, plan)
-        bscal = jnp.asarray(np.array([warm.max(), vend.min()], dtype=np.int32))
+        bscal = jnp.asarray(_boundary_scalars(warm, vend, _zero_inert(self.machine)))
         return StagedStreams(
             plan=plan,
             streams_dev=streams_dev,
@@ -746,6 +785,7 @@ class PallasAcEngine:
             warm_t=jnp.asarray(warm.reshape(self.R, 128)),
             vend_t=jnp.asarray(vend.reshape(self.R, 128)),
             bscal=bscal,
+            live_np=(vend.reshape(self.R, 128) > 0),
         )
 
     def count_staged(self, st: StagedStreams, reps: int = 1) -> int:
@@ -753,7 +793,10 @@ class PallasAcEngine:
         counts = fn(
             st.bscal, self._classmap_dev, self._table_dev, st.warm_t, st.vend_t, st.streams_dev
         )
-        return int(np.asarray(counts, dtype=np.int64).sum())
+        counts = np.asarray(counts, dtype=np.int64)
+        if st.live_np is not None:
+            counts = counts[st.live_np]
+        return int(counts.sum())
 
     def count(self, text: utf8.TextLike, reps: int = 1) -> int:
         """Total match count; ``reps > 1`` re-scans the resident streams that
@@ -790,7 +833,9 @@ class PallasAcEngine:
         if key not in c["fns"]:
             comp = c["comp"]
             n_tiles = T // self.t_tile
-            unroll = 8 if comp.rows <= 8 else (4 if comp.rows <= 16 else 2)
+            unroll = _fit_unroll(
+                8 if comp.rows <= 8 else (4 if comp.rows <= 16 else 2), self.t_tile
+            )
             kernel = _make_contains_kernel(
                 self.t_tile,
                 self.R,
@@ -837,6 +882,8 @@ class PallasAcEngine:
         c = self._sticky_setup()
         fn = self._get_contains_fn(st.plan.time_len, reps)
         out = np.asarray(fn(st.bscal, c["cm"], c["tab"], st.vend_t, st.streams_dev))
+        if st.live_np is not None:
+            out = out[st.live_np]
         return bool((out == c["absorb_pk"]).any())
 
     def contains(self, text: utf8.TextLike, reps: int = 1) -> bool:

@@ -86,6 +86,26 @@ def plan_streams(
     )
 
 
+def _stream_validity(n: int, S: int, L: int, K: int):
+    """Per-stream (warm_start, valid_end) int32 arrays.
+
+    Emission is valid for t in [warm_start, valid_end).  Fully-padded
+    streams (emit_begin >= n: no emission at all) get warm = vend = 0 so
+    masked kernels freeze them outright and boundary scalars can be
+    computed over live streams only — their windows are right-padding
+    zeros, which must never be scanned live (needles may contain NUL
+    bytes; their counts/absorbs are excluded at reduction too)."""
+    idx = np.arange(S, dtype=np.int64)
+    emit_begin = idx * L
+    emit_end = np.minimum(emit_begin + L, n)
+    warm_start = np.minimum(K, emit_begin)
+    valid_end = warm_start + np.maximum(0, emit_end - emit_begin)
+    empty = emit_begin >= n
+    warm_start[empty] = 0
+    valid_end[empty] = 0
+    return warm_start.astype(np.int32), valid_end.astype(np.int32)
+
+
 def build_streams(data: np.ndarray, plan: StreamPlan) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Lay out ``data`` into time-major streams.
 
@@ -110,12 +130,14 @@ def build_streams(data: np.ndarray, plan: StreamPlan) -> Tuple[np.ndarray, np.nd
     n_fix = 1 if L >= K else min(S, _ceil_div(K, L))
     for i in range(n_fix):
         streams[:, i] = pad[K : K + T]
-    idx = np.arange(S, dtype=np.int64)
-    emit_begin = idx * L
-    emit_end = np.minimum(emit_begin + L, n)
-    warm_start = np.minimum(K, emit_begin)
-    valid_end = warm_start + np.maximum(0, emit_end - emit_begin)
-    return streams, warm_start.astype(np.int32), valid_end.astype(np.int32)
+    warm_start, valid_end = _stream_validity(n, S, L, K)
+    # Zero every stream's window tail beyond its valid end: with T padded
+    # up to a tile multiple (and for the fixed-up head streams), the tail
+    # would otherwise hold REAL bytes belonging to later streams' emission,
+    # which the zero-inert no-freeze fast path would double-count.  Pads
+    # must be inert for every stream.
+    streams[np.arange(T, dtype=np.int32)[:, None] >= valid_end[None, :]] = 0
+    return streams, warm_start, valid_end
 
 
 @partial(jax.jit, static_argnames=("L", "T", "S", "K", "n_fix"))
@@ -160,12 +182,14 @@ def stage_streams_device(data: np.ndarray, plan: StreamPlan):
     pad_dev = jnp.asarray(pad)
     n_fix = 1 if L >= K else min(S, _ceil_div(K, L))
     streams_dev = _window_device(pad_dev, L=L, T=T, S=S, K=K, n_fix=n_fix)
-    idx = np.arange(S, dtype=np.int64)
-    emit_begin = idx * L
-    emit_end = np.minimum(emit_begin + L, n)
-    warm_start = np.minimum(K, emit_begin)
-    valid_end = warm_start + np.maximum(0, emit_end - emit_begin)
-    return streams_dev, warm_start.astype(np.int32), valid_end.astype(np.int32)
+    warm_start, valid_end = _stream_validity(n, S, L, K)
+    # Zero every stream's window tail beyond its valid end (one fused
+    # elementwise op; see build_streams — pads must be inert).
+    t_idx = jnp.arange(T, dtype=jnp.int32)[:, None]
+    streams_dev = jnp.where(
+        t_idx >= jnp.asarray(valid_end)[None, :], jnp.uint8(0), streams_dev
+    )
+    return streams_dev, warm_start, valid_end
 
 
 @dataclass

@@ -231,7 +231,13 @@ class DistributedAcEngine:
                 from jax.experimental import pallas as pl
                 from jax.experimental.pallas import tpu as pltpu
 
-                bscal = jnp.stack([warm.max(), vend.min()]).astype(jnp.int32)
+                # Exclude fully-padded streams (vend == 0) from the
+                # interior-tile boundary minimum; their unmasked pad scans
+                # are nulled below.
+                big = jnp.int32(2**31 - 1)
+                nzmin = jnp.min(jnp.where(vend > 0, vend, big))
+                bmin = jnp.where(jnp.any(vend > 0), nzmin, 0)
+                bscal = jnp.stack([warm.max(), bmin]).astype(jnp.int32)
                 counts = pl.pallas_call(
                     kernel,
                     grid=(n_tiles,),
@@ -269,7 +275,10 @@ class DistributedAcEngine:
                     vend.reshape(R_local, 128),
                     streams.reshape(T, R_local, 128),
                 )
-                return counts.astype(jnp.int64).sum()
+                # Null fully-padded streams: interior tiles scan their
+                # zero windows unmasked (cf. ops.pallas_scan).
+                live = vend.reshape(R_local, 128) > 0
+                return jnp.where(live, counts, 0).astype(jnp.int64).sum()
 
             def per_shard(cm, tab, streams, warm, vend):
                 local = local_counts(cm, tab, streams, warm, vend)
@@ -326,9 +335,9 @@ class DistributedAcEngine:
         step, table_args = self._get_step(plan.time_len, plan.n_streams)
         spec_streams = NamedSharding(self.mesh, P(None, self._stream_axes))
         spec_vec = NamedSharding(self.mesh, P(self._stream_axes))
-        streams_d = jax.device_put(jnp.asarray(streams_ts), spec_streams)
-        warm_d = jax.device_put(jnp.asarray(warm), spec_vec)
-        vend_d = jax.device_put(jnp.asarray(vend), spec_vec)
+        streams_d = jax.device_put(streams_ts, spec_streams)
+        warm_d = jax.device_put(warm, spec_vec)
+        vend_d = jax.device_put(vend, spec_vec)
         total = step(*table_args, streams_d, warm_d, vend_d)
         return int(np.asarray(total))
 
@@ -364,31 +373,75 @@ class DistributedAcEngine:
         if key not in self._count_step:
             mesh, stream_axes = self.mesh, self._stream_axes
             if self.inner == "pallas":
-                deltas = jnp.asarray(
-                    self.machine.delta.reshape(1, -1).astype(np.int32)
-                )
-            else:
-                deltas = self._deltas
+                # Per-shard Pallas states kernel (the lax.scan gather loop
+                # is ~3 orders of magnitude slower on TPU).
+                from jax.experimental import pallas as pl
+                from jax.experimental.pallas import tpu as pltpu
 
-            def per_shard(delta, streams):
-                return local_scan_states(delta[0], streams)
+                from ..ops import pallas_scan as ps
+
+                T, S = plan.time_len, plan.n_streams
+                S_local = S // self.n_stream_shards
+                R_local = S_local // 128
+                t_tile = 128 if T % 128 == 0 else T
+                n_tiles = T // t_tile
+                unroll = 8
+                while t_tile % unroll:
+                    unroll //= 2
+                kernel = ps._make_states_kernel(
+                    t_tile, R_local, self._rows, unroll, 1,
+                    fold=self._fold, in_range=self._in_range, wpairs=self._wpairs,
+                )
+                rows = self._rows
+                k = int(np.asarray(self._cms[0]).max()) + 1
+
+                def per_shard(cm, tab, streams):
+                    out = pl.pallas_call(
+                        kernel,
+                        grid=(n_tiles,),
+                        in_specs=[
+                            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                            pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                            pl.BlockSpec(
+                                (t_tile, R_local, 128), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM,
+                            ),
+                        ],
+                        out_specs=pl.BlockSpec(
+                            (t_tile, R_local, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                        out_shape=jax.ShapeDtypeStruct((T, R_local, 128), jnp.int32),
+                        scratch_shapes=[pltpu.VMEM((R_local, 128), jnp.int32)],
+                    )(cm[0], tab[0], streams.reshape(T, R_local, 128))
+                    # Decode packed values to state ids on-device.
+                    return ((out & ps._STATE_MASK) // k).reshape(T, S_local)
+
+                table_args = (self._cms, self._tabs)
+                table_specs = (P("needle"), P("needle"))
+            else:
+                table_args = (self._deltas,)
+                table_specs = (P("needle"),)
+
+                def per_shard(delta, streams):
+                    return local_scan_states(delta[0], streams)
 
             fn = jax.jit(
                 jax.shard_map(
                     per_shard,
                     mesh=mesh,
-                    in_specs=(P("needle"), P(None, stream_axes)),
+                    in_specs=table_specs + (P(None, stream_axes),),
                     out_specs=P(None, stream_axes),
                     # The table arg is nominally needle-sharded (size 1 here);
                     # replication of the output over it can't be inferred.
                     check_vma=False,
                 )
             )
-            self._count_step[key] = (fn, deltas)
-        fn, deltas = self._count_step[key]
+            self._count_step[key] = (fn, table_args)
+        fn, table_args = self._count_step[key]
         spec_streams = NamedSharding(self.mesh, P(None, self._stream_axes))
-        streams_d = jax.device_put(jnp.asarray(streams_ts), spec_streams)
-        states_ts = np.asarray(fn(deltas, streams_d))
+        streams_d = jax.device_put(streams_ts, spec_streams)
+        states_ts = np.asarray(fn(*table_args, streams_d))
         # Assemble per-position states in corpus order (emission regions).
         n, S, L = plan.n, plan.n_streams, plan.emit_len
         flat = np.empty(n, dtype=np.int32)

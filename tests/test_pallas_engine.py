@@ -384,3 +384,41 @@ class TestCombEngine:
         assert [(int(e), int(v)) for e, v in zip(ends, vids)] == [
             (mt.pos, mt.value) for mt in oracle
         ]
+
+
+class TestPaddedStreamSafety:
+    """Fully-padded tail streams (fixed S > needed) must never contribute
+    matches or absorbs — their windows are right-padding zeros, which a
+    NUL-containing needle set would otherwise match (regression)."""
+
+    def _engine(self, m, **kw):
+        return PallasAcEngine(m, n_streams=256, t_tile=64, interpret=True, unroll=4, **kw)
+
+    def test_nul_needle_contains_no_false_positive(self):
+        m = ac.build([(b"ab", 0), (b"\x00", 1)])
+        eng = self._engine(m)
+        # Tiny corpus vs 256 fixed streams: most streams fully padded.
+        assert eng.contains(b"qr") is False
+        assert eng.count(b"qr") == 0
+        assert eng.contains(b"q\x00r") is True
+        assert eng.count(b"q\x00r") == 1
+
+    def test_nul_needle_counts_exact(self):
+        m = ac.build([(b"\x00\x00", 0), (b"x", 1)])
+        eng = self._engine(m)
+        hay = b"x\x00\x00x" * 7
+        assert eng.count(hay) == ac.count_matches(m, hay)
+
+    def test_odd_t_tile_contains_and_states(self):
+        # t_tile not divisible by the preferred unroll: the fitted unroll
+        # must still cover every step (regression: silently skipped steps).
+        m = ac.build([(n, i) for i, n in enumerate(["tshirt", "shirts", "shorts"])])
+        eng = PallasAcEngine(m, n_streams=128, t_tile=24, interpret=True, unroll=3)
+        hay = b"x" * 2000 + b"tshirt" + b"y" * 95
+        assert eng.contains(hay) is True
+        assert eng.count(hay) == 1
+        states = eng.final_states(hay)
+        from alfred_margaret_tpu.ops.xla_scan import extract_matches
+
+        ends, vids = extract_matches(m, states)
+        assert list(ends) == [2006]
