@@ -674,7 +674,7 @@ class CombPallasAcEngine(PallasAcEngine):
     def count_staged(self, st, reps: int = 1) -> int:
         fn = self._get_count_fn(st.plan.time_len, reps)
         counts = fn(
-            st.bscal, self._classmap_dev, self._comb_dev, self._def_dev,
+            self._bscal_for(st), self._classmap_dev, self._comb_dev, self._def_dev,
             st.warm_t, st.vend_t, st.streams_dev,
         )
         counts = np.asarray(counts, dtype=np.int64)
@@ -751,7 +751,7 @@ class CombPallasAcEngine(PallasAcEngine):
         c = self._sticky_setup()
         fn = self._get_contains_fn(st.plan.time_len, reps)
         out = np.asarray(
-            fn(st.bscal, c["cm"], c["comb_dev"], c["def_dev"], st.vend_t, st.streams_dev)
+            fn(self._bscal_for(st), c["cm"], c["comb_dev"], c["def_dev"], st.vend_t, st.streams_dev)
         )
         if st.live_np is not None:
             out = out[st.live_np]

@@ -553,6 +553,12 @@ class StagedStreams:
     #: scan fully-padded streams' zero windows live, so their counts and
     #: sticky absorbs are garbage and must be excluded at reduction.
     live_np: Any = None
+    #: Whether ``bscal`` was computed with the no-freeze fast path (the
+    #: STAGING engine's machine was zero-inert).  A different engine
+    #: sharing this staging (grouped multi-pass) must fall back to the
+    #: conservative scalars if its own machine is not.
+    zero_inert: bool = False
+    _bscal_strict: Any = None
 
 
 class PallasAcEngine:
@@ -777,7 +783,8 @@ class PallasAcEngine:
             time_len=T,
         )
         streams_dev, warm, vend = stage_streams_device(data, plan)
-        bscal = jnp.asarray(_boundary_scalars(warm, vend, _zero_inert(self.machine)))
+        zi = _zero_inert(self.machine)
+        bscal = jnp.asarray(_boundary_scalars(warm, vend, zi))
         return StagedStreams(
             plan=plan,
             streams_dev=streams_dev,
@@ -786,12 +793,25 @@ class PallasAcEngine:
             vend_t=jnp.asarray(vend.reshape(self.R, 128)),
             bscal=bscal,
             live_np=(vend.reshape(self.R, 128) > 0),
+            zero_inert=zi,
         )
+
+    def _bscal_for(self, st: StagedStreams):
+        """Boundary scalars valid for THIS engine's machine: staging by a
+        zero-inert machine records no-freeze scalars, which a non-inert
+        machine (NUL needles) sharing the staging must not use."""
+        if not st.zero_inert or _zero_inert(self.machine):
+            return st.bscal
+        if st._bscal_strict is None:
+            vend = np.asarray(st.vend_t).reshape(-1)
+            st._bscal_strict = jnp.asarray(_boundary_scalars(st.warm_np, vend, False))
+        return st._bscal_strict
 
     def count_staged(self, st: StagedStreams, reps: int = 1) -> int:
         fn = self._get_count_fn(st.plan.time_len, reps)
         counts = fn(
-            st.bscal, self._classmap_dev, self._table_dev, st.warm_t, st.vend_t, st.streams_dev
+            self._bscal_for(st), self._classmap_dev, self._table_dev,
+            st.warm_t, st.vend_t, st.streams_dev,
         )
         counts = np.asarray(counts, dtype=np.int64)
         if st.live_np is not None:
@@ -881,7 +901,7 @@ class PallasAcEngine:
     def contains_staged(self, st: StagedStreams, reps: int = 1) -> bool:
         c = self._sticky_setup()
         fn = self._get_contains_fn(st.plan.time_len, reps)
-        out = np.asarray(fn(st.bscal, c["cm"], c["tab"], st.vend_t, st.streams_dev))
+        out = np.asarray(fn(self._bscal_for(st), c["cm"], c["tab"], st.vend_t, st.streams_dev))
         if st.live_np is not None:
             out = out[st.live_np]
         return bool((out == c["absorb_pk"]).any())

@@ -422,3 +422,21 @@ class TestPaddedStreamSafety:
 
         ends, vids = extract_matches(m, states)
         assert list(ends) == [2006]
+
+    def test_shared_staging_nul_group(self):
+        # Grouped passes share one staging; a NUL-needle group must not
+        # inherit the no-freeze boundary scalars of an inert group
+        # (regression: wrong counts for the NUL group).
+        m_inert = ac.build([(b"abcd", 0)])
+        m_nul = ac.build([(b"\x00y", 0)])
+        e_inert = PallasAcEngine(m_inert, n_streams=256, t_tile=64, interpret=True, unroll=4)
+        e_nul = PallasAcEngine(m_nul, n_streams=256, t_tile=64, interpret=True, unroll=4)
+        data = np.frombuffer(b"q\x00y abcd zz", dtype=np.uint8)
+        st = e_inert.stage(data)
+        assert st.zero_inert
+        assert int(np.asarray(st.bscal)[1]) == (1 << 30)
+        # The non-inert engine resolves conservative scalars...
+        assert int(np.asarray(e_nul._bscal_for(st))[1]) < (1 << 30)
+        # ...and counts exactly on the shared staging.
+        assert e_nul.count_staged(st) == ac.count_matches(m_nul, data.tobytes())
+        assert e_inert.count_staged(st) == ac.count_matches(m_inert, data.tobytes())
