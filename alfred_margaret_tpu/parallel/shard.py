@@ -327,19 +327,32 @@ class DistributedAcEngine:
         )
         return plan, build_streams(data, plan)
 
-    def count(self, text: utf8.TextLike) -> int:
+    def stage(self, text: utf8.TextLike):
+        """Lay out and shard the corpus over the mesh once; pass the handle
+        to ``count_staged`` for repeated scans without re-transfer (the
+        mesh analogue of ``MatchEngine.stage`` — the serving pattern)."""
         data = utf8.to_u8(text)
         if len(data) == 0:
-            return 0
+            return None
         plan, (streams_ts, warm, vend) = self._layout(data)
-        step, table_args = self._get_step(plan.time_len, plan.n_streams)
         spec_streams = NamedSharding(self.mesh, P(None, self._stream_axes))
         spec_vec = NamedSharding(self.mesh, P(self._stream_axes))
-        streams_d = jax.device_put(streams_ts, spec_streams)
-        warm_d = jax.device_put(warm, spec_vec)
-        vend_d = jax.device_put(vend, spec_vec)
-        total = step(*table_args, streams_d, warm_d, vend_d)
-        return int(np.asarray(total))
+        return (
+            plan,
+            jax.device_put(streams_ts, spec_streams),
+            jax.device_put(warm, spec_vec),
+            jax.device_put(vend, spec_vec),
+        )
+
+    def count_staged(self, staged) -> int:
+        if staged is None:
+            return 0
+        plan, streams_d, warm_d, vend_d = staged
+        step, table_args = self._get_step(plan.time_len, plan.n_streams)
+        return int(np.asarray(step(*table_args, streams_d, warm_d, vend_d)))
+
+    def count(self, text: utf8.TextLike) -> int:
+        return self.count_staged(self.stage(text))
 
     def _get_step(self, T: int, S: int):
         key = (T, S)

@@ -108,3 +108,14 @@ def test_searcher_distributed_ignore_case_needle_axis(monkeypatch):
     expected = s.count_matches(hay)
     mesh = make_mesh(jax.devices()[:8], data=2, seq=2, needle=2)
     assert s.distributed(mesh).count(hay) == expected
+
+
+def test_staged_mesh_scans(machine):
+    """Mesh staging: one transfer, repeated count_staged calls agree."""
+    mesh = make_mesh(jax.devices()[:8], data=4, seq=2)
+    eng = DistributedAcEngine(machine, mesh)
+    st = eng.stage(CORPUS)
+    expected = eng.count(CORPUS)
+    assert eng.count_staged(st) == expected
+    assert eng.count_staged(st) == expected
+    assert eng.count_staged(eng.stage(b"")) == 0
