@@ -377,8 +377,6 @@ class MatchEngine:
             st = text.device if isinstance(text, StagedHaystack) else None
             if st is not None and hasattr(eng, "count_staged"):
                 got = eng.count_staged(st)
-            elif st is not None and hasattr(eng, "engines"):  # grouped
-                got = sum(e.count_staged(st) for e in eng.engines)
             else:
                 got = eng.count(data)
         else:

@@ -52,6 +52,8 @@ int32_t am_scan_states(const int32_t* delta, int32_t n_states,
 
 }  // extern "C" (template helper below needs C++ linkage)
 
+static constexpr int kInterleave = 8;
+
 // K-way interleaved scan of one emit region: the region splits into K
 // contiguous substreams, each warmed from ``overlap`` bytes before its
 // start (exact — an AC DFA state depends on at most ``overlap`` bytes of
@@ -60,8 +62,6 @@ int32_t am_scan_states(const int32_t* delta, int32_t n_states,
 // out-of-order window hides load latency: ~3.5x one chain on this host.
 // ``emit(k, i, state)`` is called for every emitted byte; within one
 // substream k the positions are ascending.
-static constexpr int kInterleave = 8;
-
 template <typename F>
 static inline void scan_interleaved(const int32_t* delta, const uint8_t* data,
                                     int64_t emit_begin, int64_t emit_end,

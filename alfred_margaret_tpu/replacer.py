@@ -401,13 +401,7 @@ class Replacer:
         """Match starts for a full match list (one pass over the text)."""
         if not composed:
             return ends - lenb_of[vids]
-        if len(ends) == 0:
-            return np.zeros(0, dtype=np.int64)
-        arr = utf8.to_u8(data)
-        is_start = (arr & 0xC0) != 0x80
-        pos = np.flatnonzero(is_start)
-        ordinal = np.cumsum(is_start)
-        return pos[ordinal[ends - 1] - lencp_of[vids]]
+        return utf8.raw_match_starts(data, ends, lencp_of[vids])
 
     def _scan_windows(self, scan_machine, data: bytes, w_b, w_e):
         """Segmented hit scan over merged windows (native when available)."""

@@ -317,26 +317,31 @@ def skip_code_points_backwards(text: TextLike, idx: int, n: int) -> int:
     return idx
 
 
-def raw_match_starts(text: TextLike, ends: np.ndarray, lenc: int) -> np.ndarray:
+def raw_match_starts(text: TextLike, ends: np.ndarray, lenc) -> np.ndarray:
     """Vectorized match-start recovery in raw coordinates: for each one-past-
     end byte index, skip back ``lenc`` code points and return the first byte
     of the landing code point (the reference's ``skipCodePointsBackwards``
     trick, ``Replacer.hs:264-274`` — an IgnoreCase match spans exactly the
     needle's code-point count in the haystack even when byte lengths differ
-    under case folding).
+    under case folding).  ``lenc`` may be a scalar or a per-match array.
 
     Exact whenever every matched haystack unit is a valid UTF-8 sequence,
     which holds for whole-code-point needles (see ``models.case_dfa``):
     junk bytes before the match cannot shift the landing position.
     """
     ends = np.asarray(ends, dtype=np.int64)
-    if lenc == 0 or len(ends) == 0:
+    if len(ends) == 0:
+        return ends.copy()
+    lenc = np.broadcast_to(np.asarray(lenc, dtype=np.int64), ends.shape)
+    if not lenc.any():
         return ends.copy()
     arr = to_u8(text)
     is_start = (arr & 0xC0) != 0x80
     pos = np.flatnonzero(is_start)
     ordinal = np.cumsum(is_start)  # 1-based cp ordinal at each byte
-    return pos[ordinal[ends - 1] - lenc]
+    starts = pos[ordinal[ends - 1] - np.maximum(lenc, 1)]
+    # Zero-length matches (empty needle) start at their own end.
+    return np.where(lenc == 0, ends, starts)
 
 
 def unsafe_slice_utf8(begin: int, length: int, text: TextLike) -> bytes:
