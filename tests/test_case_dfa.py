@@ -193,3 +193,50 @@ class TestStagedOwnership:
             s2.count_matches(st)
         # The owner still accepts it.
         assert s1.count_matches(st) == s1.count_matches("KAVAK and kavak K")
+
+
+class TestComposedHypothesis:
+    """Hypothesis property: the composed machine's scalar scan equals the
+    lowered-scan oracle on fragment-pool inputs (the reference's generator
+    strategy, ``TestInstances.hs:36-56``)."""
+
+    @staticmethod
+    def _strategy():
+        from hypothesis import strategies as st
+
+        alphabets = ["abAB12", "aAБВ\U0001d11e\U0001f4a9ßẞÅÅå", "kKıİǳǱθϴ"]
+
+        @st.composite
+        def needle_haystack(draw):
+            alphabet = draw(st.sampled_from(alphabets))
+            fragments = draw(
+                st.lists(
+                    st.text(alphabet=alphabet, min_size=1, max_size=3),
+                    min_size=1,
+                    max_size=5,
+                )
+            )
+            frag = st.sampled_from(fragments)
+            needles = draw(
+                st.lists(
+                    st.builds("".join, st.lists(frag, min_size=1, max_size=2)),
+                    min_size=0,
+                    max_size=4,
+                )
+            )
+            haystack = draw(st.builds("".join, st.lists(frag, min_size=0, max_size=25)))
+            return needles, haystack
+
+        return needle_haystack()
+
+    def test_property_vs_oracle(self):
+        from hypothesis import given, settings
+
+        @given(self._strategy())
+        @settings(max_examples=120, deadline=None)
+        def check(nh):
+            needles, haystack = nh
+            lowered = list({utf8.lower_str(n) for n in needles})
+            assert_composed_matches_oracle(lowered, haystack)
+
+        check()
