@@ -115,8 +115,8 @@ def main(argv=None) -> int:
 
     # --- config 3: IgnoreCase over mixed-case UTF-8 ---------------------
     words = ["İstanbul", "STRASSE", "straße", "Zürich", "K", "Å", "ǳoo", "TShirt"]
-    base = (" ".join(words) + " filler ") * (big // (len(" ".join(words)) + 8) // 8)
-    corpus3 = base.encode()
+    unit = " ".join(words) + " filler "
+    corpus3 = (unit * (big // len(unit.encode()))).encode()
     s_ci = Searcher.build(IGNORE_CASE, ["istanbul", "straße", "zürich", "tshirt"])
     n_ci = s_ci.count_matches(corpus3)
     # Oracle: scalar scan of the pre-lowered corpus.
