@@ -135,10 +135,13 @@ class MatchEngine:
 
     # -- composed IgnoreCase engine ---------------------------------------
 
-    #: Haystack size from which a one-shot IgnoreCase scan triggers building
-    #: the composed case DFA: one lowering pass of this size costs about as
-    #: much as a small-automaton composition, so everything above amortizes
-    #: immediately (and the machine is cached for all later scans).
+    #: Haystack size from which an IgnoreCase scan triggers building the
+    #: composed case DFA.  Composition costs ~0.1-0.5 s for small needle
+    #: sets (more than one lowering pass at this size), but it is cached on
+    #: the engine and searchers are built to be reused (the reference's
+    #: whole design): bulk-scan workloads amortize it within a few scans,
+    #: and every later scan runs at CaseSensitive speed with no lowering.
+    #: Tiny ad-hoc scans stay on the cheap lowering path.
     AUTO_COMPOSE_BYTES = 4 << 20
 
     def _composed(self, case: CaseSensitivity, text=None) -> Optional["MatchEngine"]:
