@@ -13,6 +13,11 @@ engine on the same data on this host — the stand-in for the reference
 implementation (same algorithm class, measured live so the ratio tracks
 real hardware).
 
+The TPU measurement runs in a watchdog subprocess (default 480 s,
+``AM_BENCH_TIMEOUT``): a wedged device relay gets SIGKILLed and the
+benchmark still reports the multithreaded host-engine number instead of
+hanging the driver.  ``AM_BENCH_INPROC=1`` disables the watchdog.
+
 Environment knobs: AM_BENCH_MB (corpus MiB, default 128), AM_BENCH_ROUNDS.
 """
 
@@ -25,6 +30,7 @@ import numpy as np
 
 N_MB = int(os.environ.get("AM_BENCH_MB", "128"))
 ROUNDS = int(os.environ.get("AM_BENCH_ROUNDS", "7"))
+WATCHDOG_S = int(os.environ.get("AM_BENCH_TIMEOUT", "480"))
 NEEDLES = ["tshirt", "shirts", "shorts"]
 
 _T0 = time.perf_counter()
@@ -62,6 +68,41 @@ def _time_device_scan(eng, data: np.ndarray, reps: int):
     return best, count
 
 
+def _tpu_measure(machine, data: np.ndarray, n_full: int):
+    """Slope between a low-rep and a high-rep device-resident scan.
+
+    Wide rep spread: the ~30 ms relay round-trip jitters by up to ~10 ms
+    between runs, so the slope denominator must dwarf it.  Returns
+    (bytes/s, single-rep count)."""
+    from alfred_margaret_tpu.ops.pallas_scan import PallasAcEngine
+
+    eng = PallasAcEngine(machine)
+    r_lo, r_hi = 2, 130
+    t_lo, c_lo = _time_device_scan(eng, data, r_lo)
+    t_hi, c_hi = _time_device_scan(eng, data, r_hi)
+    assert c_lo * r_hi == c_hi * r_lo, f"rep-count mismatch {c_lo}x{r_hi} != {c_hi}x{r_lo}"
+    if t_hi > t_lo:
+        value = (r_hi - r_lo) * n_full / (t_hi - t_lo)
+    else:
+        value = r_hi * n_full / t_hi  # overhead-dominated; report raw
+        log("slope degenerate; reporting raw rate")
+    return value, c_lo // r_lo
+
+
+def _tpu_child() -> int:
+    """Watchdog child: do the device measurement, print one parseable line."""
+    from alfred_margaret_tpu.bench.dataformat import synth_corpus
+    from alfred_margaret_tpu.models import ac
+
+    n_full = N_MB * 1024 * 1024
+    corpus = synth_corpus(NEEDLES, n_full, hit_fraction=0.01, seed=3)
+    data = np.frombuffer(corpus, dtype=np.uint8)
+    machine = ac.build([(n, i) for i, n in enumerate(NEEDLES)])
+    value, count = _tpu_measure(machine, data, n_full)
+    print(f"TPU_RESULT {value} {count}", flush=True)
+    return 0
+
+
 def main() -> int:
     from alfred_margaret_tpu.bench.dataformat import synth_corpus
     from alfred_margaret_tpu.models import ac
@@ -87,26 +128,33 @@ def main() -> int:
     except Exception as e:  # pragma: no cover
         log(f"baseline unavailable: {e}")
 
-    # --- TPU pallas kernel: slope between reps to cancel launch overhead ---
+    # --- TPU pallas kernel, under a watchdog subprocess -------------------
     value = None
     try:
-        from alfred_margaret_tpu.ops.pallas_scan import PallasAcEngine
-
-        eng = PallasAcEngine(machine)
-        # Wide rep spread: the ~30 ms relay round-trip jitters by up to
-        # ~10 ms between runs, so the slope denominator must dwarf it.
-        r_lo, r_hi = 2, 130
-        t_lo, c_lo = _time_device_scan(eng, data, r_lo)
-        t_hi, c_hi = _time_device_scan(eng, data, r_hi)
-        assert c_lo * r_hi == c_hi * r_lo, f"rep-count mismatch {c_lo}x{r_hi} != {c_hi}x{r_lo}"
-        if expected is not None:
-            assert c_lo == r_lo * expected, f"count mismatch {c_lo} != {r_lo}*{expected}"
-        if t_hi > t_lo:
-            value = (r_hi - r_lo) * n_full / (t_hi - t_lo)
-            log(f"sustained throughput: {value/1e9:.3f} GB/s")
+        if os.environ.get("AM_BENCH_INPROC"):
+            value, c_base = _tpu_measure(machine, data, n_full)
         else:
-            value = r_hi * n_full / t_hi  # overhead-dominated; report raw
-            log(f"slope degenerate; raw {value/1e9:.3f} GB/s")
+            import subprocess
+
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tpu-child"],
+                capture_output=True,
+                text=True,
+                timeout=WATCHDOG_S,
+            )
+            sys.stderr.write(proc.stderr)
+            result_lines = [
+                l for l in proc.stdout.splitlines() if l.startswith("TPU_RESULT ")
+            ]
+            if proc.returncode != 0 or not result_lines:
+                raise RuntimeError(
+                    f"tpu child exited {proc.returncode}: {proc.stderr[-300:]!r}"
+                )
+            _, v, c = result_lines[-1].split()
+            value, c_base = float(v), int(c)
+        if expected is not None:
+            assert c_base == expected, f"count mismatch {c_base} != {expected}"
+        log(f"sustained throughput: {value/1e9:.3f} GB/s")
     except Exception as e:
         log(f"tpu path failed ({e}); falling back to cpp engine")
         if cpp_bps is None:
@@ -130,4 +178,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(_tpu_child() if "--tpu-child" in sys.argv else main())
