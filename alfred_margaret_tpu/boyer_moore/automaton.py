@@ -172,7 +172,8 @@ def run_text_classic(
 
 
 def matches(automaton: Automaton, text: utf8.TextLike) -> List[int]:
-    """All non-overlapping match start indices."""
+    """All non-overlapping match start indices (``run_text`` already scans
+    via ``bytes.find`` at C speed)."""
     out: List[int] = []
 
     def fold(acc, pos):
