@@ -139,12 +139,19 @@ class DistributedAcEngine:
             self.sub_machines = [machine]
 
         if self.inner == "pallas":
-            from ..ops.pallas_scan import CompressedMachine
+            from ..ops.pallas_scan import CapacityError, CompressedMachine
 
-            comps = [
-                CompressedMachine.from_machine(sm, force_packing=1)
-                for sm in self.sub_machines
-            ]
+            try:
+                comps = [
+                    CompressedMachine.from_machine(sm, force_packing=1)
+                    for sm in self.sub_machines
+                ]
+            except CapacityError as e:
+                raise CapacityError(
+                    f"{e}; shard the automaton over more 'needle' mesh devices "
+                    "(each group must fit one chip's kernel table) or use "
+                    "inner='xla'"
+                ) from e
             rows_max = max(c.rows for c in comps)
             cms = np.stack(
                 [np.resize(c.classmap, 256).reshape(2, 128) for c in comps]
