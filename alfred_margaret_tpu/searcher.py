@@ -191,9 +191,23 @@ class Searcher:
         return self._engine.count(haystack, self._case)
 
     def all_matches(self, haystack: utf8.TextLike) -> List[ac.Match]:
+        """Reference-shaped result: a list of ``Match(pos, value)``.  For
+        bulk consumers (millions of matches) prefer
+        :meth:`all_matches_arrays` — materializing Python objects dominates
+        the scan cost by ~100x at scale."""
         ms = self._engine.matches(haystack, self._case)
         values = self._machine.values
-        return [ac.Match(int(p), values[int(v)]) for p, v in zip(ms.ends, ms.value_ids)]
+        # tolist + map: C-speed conversion, no per-element int() round-trips.
+        return list(
+            map(ac.Match, ms.ends.tolist(), map(values.__getitem__, ms.value_ids.tolist()))
+        )
+
+    def all_matches_arrays(self, haystack: utf8.TextLike):
+        """(ends, value_ids) numpy arrays in emission order — the zero-copy
+        bulk-result API (``ends`` are raw byte positions one past each
+        match; ``value_ids`` index :attr:`automaton` ``.values``)."""
+        ms = self._engine.matches(haystack, self._case)
+        return ms.ends, ms.value_ids
 
 
 def _hashable(v: Any):

@@ -166,3 +166,13 @@ def test_broken_jax_runtime_falls_back_to_host(monkeypatch):
     backend = s._engine._pick(len(data))
     assert backend in ("cpp", "python")
     assert s.count_matches(data) == 50000
+
+
+def test_all_matches_arrays_agrees_with_list():
+    s = Searcher.build_needle_id_searcher(CASE_SENSITIVE, ["ab", "b", "abab"])
+    hay = "xababx" * 50
+    ms = s.all_matches(hay)
+    ends, vids = s.all_matches_arrays(hay)
+    assert [(m.pos, m.value) for m in ms] == [
+        (int(e), int(v)) for e, v in zip(ends, vids)
+    ]
