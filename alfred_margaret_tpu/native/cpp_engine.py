@@ -72,7 +72,9 @@ class CppAcEngine:
         if len(data) == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
         nt = self.n_threads if n_threads is None else n_threads
-        cap = 4096
+        # First-try capacity sized for ~1.5% hit density (typical corpora);
+        # denser inputs pay one full rescan with the exact size.
+        cap = max(4096, len(data) // 64)
         while True:
             pos = np.empty(cap, dtype=np.int64)
             st = np.empty(cap, dtype=np.int32)
