@@ -314,7 +314,13 @@ class MatchEngine:
                 return "cpp"
             except Exception:
                 return "pallas" if self._pallas_total_rows() < (1 << 30) else "xla"
-        return "xla"
+        # Non-accelerator JAX backends (plain CPU installs): the interleaved
+        # host engine dominates the per-byte lax.scan gather loop by ~10-100x.
+        try:
+            self._cpp_engine()
+            return "cpp"
+        except Exception:
+            return "xla"
 
     # -- prep --------------------------------------------------------------
 
@@ -330,6 +336,11 @@ class MatchEngine:
                 # scanned as if they were lowered bytes.
                 if case is CASE_SENSITIVE and text.owner is self.machine:
                     return text.data, text.lowered
+                raise ValueError("staged haystack belongs to a different searcher")
+            if text.owner is not None and text.owner is not self.machine:
+                # Staged streams carry THIS machine's overlap/window plan; a
+                # different searcher scanning them would silently miss
+                # matches spanning chunk boundaries.
                 raise ValueError("staged haystack belongs to a different searcher")
             if text.case is not case:
                 raise ValueError("staged haystack was prepared for a different case mode")
@@ -488,8 +499,10 @@ class MatchEngine:
                 if hasattr(eng, "value_presence"):  # grouped multi-pass engine
                     return eng.value_presence(data, len(m.values))
                 if hasattr(eng, "match_positions_staged"):
-                    # Device-side compaction: only hit states come back.
-                    _, hit = eng.match_positions_staged(eng.stage(data))
+                    # Device-side compaction: only hit states come back;
+                    # reuse the staged device streams when given.
+                    st = text.device if _has_device(text) else eng.stage(data)
+                    _, hit = eng.match_positions_staged(st)
                     hit_states = np.unique(hit)
                     present = np.zeros(len(m.values), dtype=bool)
                     for s in hit_states:

@@ -242,15 +242,22 @@ def build(needles_with_values: Iterable[Tuple[utf8.TextLike, Any]]) -> AcMachine
     for s in bfs_order:
         out_lists[s] = own[s] + out_lists[fail[s]]
 
-    # Pack CSR, clearing root and mid-cp states (empty-needle semantics: the
-    # root's own values are inherited by every state via the failure chain but
-    # are never collected at the root itself; mid-cp states only ever hold
-    # such inherited values and are stepped through mid-code-point, where the
-    # reference's code-point automaton never emits).
+    # Pack CSR.  The root never emits, and mid-code-point states drop the
+    # root-inherited (empty-needle) values: the reference's code-point
+    # automaton emits the piggybacked empty-needle value once per code
+    # point, not per byte.  Everything else at a mid-cp state DOES emit —
+    # needles that are not whole UTF-8 sequences end at mid-cp states and
+    # must still fire (byte-granular matching; with whole-sequence needles
+    # a mid-cp state can only ever inherit root values anyway: a valid
+    # needle being a suffix of a path would complete the path's trailing
+    # code point, contradicting its mid-cp pending count).
+    root_own = set(own[0])
     packed: List[List[int]] = []
     for s in range(n_states):
-        if s == 0 or not cp_complete[s]:
+        if s == 0:
             packed.append([])
+        elif not cp_complete[s]:
+            packed.append([v for v in out_lists[s] if v not in root_own])
         else:
             packed.append(out_lists[s])
     counts = np.asarray([len(p) for p in packed], dtype=np.int32)

@@ -19,7 +19,6 @@ from typing import Any, Callable, Iterable, List, Optional, Tuple
 
 import numpy as np
 
-from .models import ac
 from .searcher import Searcher
 from .utils import utf8
 from .utils.case import IGNORE_CASE, CaseSensitivity

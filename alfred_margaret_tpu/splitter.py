@@ -23,9 +23,15 @@ from .utils.case import CASE_SENSITIVE, IGNORE_CASE, CaseSensitivity
 class Splitter:
     def __init__(self, separator: utf8.TextLike, engine: str = "auto"):
         self._separator = utf8.to_bytes(separator)
-        self._separator_str = self._separator.decode("utf-8")
         self._machine = ac.build([(self._separator, ())])
         self._engine = MatchEngine(self._machine, engine)
+
+    @property
+    def _separator_str(self) -> str:
+        # Decoded lazily: only IGNORE_CASE splitting (code-point length) and
+        # to_json need the str form, so byte separators that are not valid
+        # UTF-8 still construct and split() case-sensitively.
+        return self._separator.decode("utf-8")
 
     @classmethod
     def build(cls, separator: utf8.TextLike, engine: str = "auto") -> "Splitter":

@@ -22,7 +22,6 @@ Two implementation tiers live here:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
 from functools import lru_cache
 from typing import List, Tuple, Union
 

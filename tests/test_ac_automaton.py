@@ -216,3 +216,24 @@ class TestPersistence:
         m_bad = dataclasses.replace(m, delta=bad)
         with _pytest.raises(AssertionError):
             validate_machine(m_bad)
+
+
+class TestByteGranularNeedles:
+    """Needles that are not whole UTF-8 sequences must still match
+    byte-granularly (regression: their outputs were silently dropped as
+    'mid-code-point' states)."""
+
+    def test_latin1_needle_matches(self):
+        m = ac.build([(b"caf\xe9", 0)])
+        assert ac.count_matches(m, b"xx caf\xe9 caf\xe9") == 2
+
+    def test_lone_invalid_bytes(self):
+        m = ac.build([(b"\xff", 0), (b"ab", 1)])
+        assert ac.count_matches(m, b"a\xffab") == 2
+
+    def test_trail_byte_needle_and_suffix_inheritance(self):
+        # b"\xa9" is a suffix of b"\xc3\xa9"; both must fire at the same end.
+        m = ac.build([(b"\xa9", 0), (b"\xc3\xa9", 1)])
+        got = [(mm.pos, mm.value) for mm in ac.all_matches(m, b"x\xc3\xa9")]
+        assert got == [(3, 1), (3, 0)]
+        assert ac.count_matches(m, b"z\xa9") == 1

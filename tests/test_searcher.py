@@ -176,3 +176,14 @@ def test_all_matches_arrays_agrees_with_list():
     assert [(m.pos, m.value) for m in ms] == [
         (int(e), int(v)) for e, v in zip(ends, vids)
     ]
+
+
+def test_staged_owner_mismatch_raises():
+    """A staged haystack carries its machine's stream plan; any other
+    searcher must reject it (regression: silently wrong boundary matches)."""
+    s1 = Searcher.build(CASE_SENSITIVE, ["foo"])
+    s2 = Searcher.build(CASE_SENSITIVE, ["longerneedlehere"])
+    st = s1.stage("foo x" * 2000)
+    with pytest.raises(ValueError):
+        s2.count_matches(st)
+    assert s1.count_matches(st) == 2000

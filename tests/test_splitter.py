@@ -59,3 +59,12 @@ class TestSplit:
         assert a.separator == b"x"
         assert Splitter.from_json(a.to_json()) == a
         assert a.automaton.n_states == 2
+
+
+def test_bytes_separator_non_utf8():
+    """Non-UTF-8 byte separators construct and split case-sensitively
+    (the str form is only needed for IGNORE_CASE / to_json)."""
+    from alfred_margaret_tpu import Splitter
+
+    sp = Splitter.build(b"\xff")
+    assert sp.split(b"a\xffb\xffc") == [b"a", b"b", b"c"]
