@@ -48,7 +48,10 @@ def count_with_engine(needles, haystack_bytes, engine: str) -> int:
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     engine = os.environ.get("AMT_ENGINE", "auto")
-    rounds = int(os.environ.get("AMT_ROUNDS", "5"))
+    if engine not in ("auto", "python", "xla", "pallas", "cpp"):
+        print(f"unknown AMT_ENGINE {engine!r}", file=sys.stderr)
+        return 2
+    rounds = max(1, int(os.environ.get("AMT_ROUNDS", "5")))
     total_count = None
     for path in argv:
         needles, haystack = parse_bench_file(path)

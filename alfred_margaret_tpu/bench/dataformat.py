@@ -31,6 +31,7 @@ def parse_bench_file(path: str) -> Tuple[List[str], str]:
             continue
     if text is None:
         raise ValueError(f"cannot decode {path} as UTF-16LE or UTF-8")
+    text = text.replace("\r\n", "\n")
     needle_part, _, haystack = text.partition("\n\n")
     needles = [n for n in needle_part.split("\n") if n]
     return needles, haystack
@@ -53,7 +54,7 @@ def synth_corpus(
         for _ in range(200)
     ]
     vocab = filler + [n for n in needles for _ in range(max(1, int(hit_fraction * len(filler))))]
-    words = rng.choice(len(vocab), size=max(64, size_bytes // 6))
-    block = " ".join(vocab[i] for i in words[:100_000]).encode("utf-8")
+    words = rng.choice(len(vocab), size=min(max(64, size_bytes // 6), 100_000))
+    block = " ".join(vocab[i] for i in words).encode("utf-8")
     reps = size_bytes // len(block) + 1
     return (block * reps)[:size_bytes]

@@ -35,8 +35,14 @@ def run_benchmark(program: str, prefix: str, data_directory: str = "data", runs:
         if proc.returncode != 0:
             print(proc.stderr, file=sys.stderr)
             raise RuntimeError(f"{program} failed with {proc.returncode}")
-        all_stats.append(proc.stdout)
-        run_counts = proc.stderr.strip()
+        # Blank line between runs so report.py can sum per run over files.
+        all_stats.append(proc.stdout if proc.stdout.endswith("\n") else proc.stdout + "\n")
+        all_stats.append("\n")
+        # The protocol puts the count on stderr's LAST line; incidental
+        # logging (e.g. backend warnings) above it must not break the
+        # cross-run consistency check.
+        err_lines = proc.stderr.strip().splitlines()
+        run_counts = err_lines[-1] if err_lines else ""
         if counts is None:
             counts = run_counts
         elif counts != run_counts:

@@ -40,14 +40,11 @@ def scenarios():
     ]
 
 
+from .timing import best_of
+
+
 def timed(fn, min_rounds=5):
-    fn()  # warm
-    best = float("inf")
-    for _ in range(min_rounds):
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return best_of(fn, rounds=min_rounds)
 
 
 def main(argv=None) -> int:
