@@ -807,21 +807,22 @@ class CombPallasAcEngine(PallasAcEngine):
 
 
 def plan_pallas(machine, max_rows: int = MAX_ROWS):
-    """Choose the cheaper single-pass representation for ``machine``.
+    """Choose the cheapest single-pass representation for ``machine``.
 
-    Returns ``("dense", rows)`` or ``("comb", rows_total)``; raises
-    :class:`CapacityError` when neither fits ``max_rows`` physical rows
-    (callers go to the needle-grouped multi-pass engine).  Dense wins ties
-    (its per-row select is a hair cheaper than the comb owner check).
+    Returns ``("dense" | "comb" | "comb16", gather_cost)`` where the cost is
+    the per-byte table-gather count (the loop's performance currency:
+    sustained rate ~ 165 GB/s / gathers); raises :class:`CapacityError` when
+    nothing fits ``max_rows`` physical rows (callers go to the needle-grouped
+    multi-pass engine).  Dense wins ties (its per-row select is a hair
+    cheaper than the comb owner check).
     """
     from .pallas_scan import CompressedMachine
 
-    dense_rows = None
+    options = []
     try:
-        dense_rows = CompressedMachine.from_machine(machine, max_rows).rows
+        options.append(("dense", CompressedMachine.from_machine(machine, max_rows).rows))
     except CapacityError:
         pass
-    comb_rows = None
     if (
         machine.delta.shape[0] < (1 << BASE_BITS) - 64
         and int(np.asarray(machine.match_count).max(initial=0)) <= MAX_COUNT
@@ -829,26 +830,43 @@ def plan_pallas(machine, max_rows: int = MAX_ROWS):
         try:
             rt, _, _ = comb_structure_cost(machine, max_rows=max_rows)
             if rt <= max_rows:
-                comb_rows = rt
+                options.append(("comb", rt))
         except CapacityError:
             pass
-    if dense_rows is not None and (comb_rows is None or dense_rows <= comb_rows + 1):
-        return "dense", dense_rows
-    if comb_rows is not None:
-        return "comb", comb_rows
-    raise CapacityError(
-        f"automaton ({machine.delta.shape[0]} states) fits neither dense nor "
-        f"comb within {max_rows} rows"
-    )
+    try:
+        from .comb16_scan import comb16_structure_cost
+
+        g16, _ = comb16_structure_cost(machine)
+        if g16 <= max_rows:
+            options.append(("comb16", g16))
+    except CapacityError:
+        pass
+    if not options:
+        raise CapacityError(
+            f"automaton ({machine.delta.shape[0]} states) fits neither dense "
+            f"nor comb within {max_rows} rows"
+        )
+    # Stable preference on ties: dense < comb16 < comb (fewer ALU ops per
+    # gather in that order).
+    rank = {"dense": 0, "comb16": 1, "comb": 2}
+    return min(options, key=lambda o: (o[1], rank[o[0]]))
 
 
 def make_pallas_engine(machine: AcMachine, max_rows: int = MAX_ROWS, **kw):
-    """Build the cheaper of the dense / comb Pallas engines for ``machine``.
+    """Build the cheapest of the dense / comb / comb16 Pallas engines.
 
-    The comb structure-cost estimate carries a placement-overhead guess; if
-    actual placement overflows, falls back to dense when that fits at all.
+    The structure-cost estimates carry placement-overhead guesses; if actual
+    placement overflows, falls back down the ladder (comb16 -> comb ->
+    dense) to whatever fits.
     """
     kind, _ = plan_pallas(machine, max_rows)
+    if kind == "comb16":
+        from .comb16_scan import Comb16PallasAcEngine
+
+        try:
+            return Comb16PallasAcEngine(machine, max_rows=max_rows, **kw)
+        except CapacityError:
+            kind = "comb"
     if kind == "comb":
         try:
             return CombPallasAcEngine(machine, max_rows=max_rows, **kw)

@@ -257,6 +257,8 @@ class GroupedPallasAcEngine:
         device rate is ~KERNEL_ROW_RATE / total_rows."""
 
         def rows(e):
+            if hasattr(e, "c16"):
+                return e.c16.rows_total
             return e.comb.rows_total if hasattr(e, "comb") else e.comp.rows
 
         return sum(rows(e) for e in self.engines)
