@@ -88,6 +88,16 @@ def main(argv=None) -> int:
         assert len(ce) == len(got) and all(
             int(e) == g.pos and int(v) == g.value for e, v, g in zip(ce[:5000], cv[:5000], got[:5000])
         ), "config-2 parity mismatch between engines"
+    # Independent-implementation gate: a runtime failure-link NFA that
+    # shares no construction code with models.ac (the reference's
+    # cross-implementation protocol, benchmark/benchmark.py:65-69).
+    from ..models.nfa_oracle import NfaOracle
+
+    sl = corpus2[: 1 << 18]
+    cross = NfaOracle(needles100).all_matches(sl)
+    head = [(g.pos, g.value) for g in got if g.pos <= len(sl) - 16]
+    assert cross[: len(head)] == head, "config-2 independent-NFA mismatch"
+    parity += "+nfa-independent"
     t = _best(lambda: s100.count_matches(corpus2), rounds=2)
     # Device-resident (staged) rate: the production serving pattern — the
     # corpus is staged once and scanned repeatedly; one-shot scans pay the
@@ -175,6 +185,12 @@ def main(argv=None) -> int:
         CASE_SENSITIVE, needles10k, engine="python"
     ).count_matches(corpus5[: 1 << 20])
     assert s10k.count_matches(corpus5[: 1 << 20]) == sub
+    # Independent-NFA gate on a slice (the oracle is scalar Python).
+    from ..models.nfa_oracle import cross_check_counts
+
+    cross_check_counts(
+        needles10k, corpus5[: 1 << 18], s10k.count_matches(corpus5[: 1 << 18])
+    )
     t = _best(lambda: s10k.count_matches(corpus5), rounds=2)
     _emit(
         config=5,

@@ -126,38 +126,109 @@ class AcMachine:
         )
 
 
-def save_npz(machine: AcMachine, path: str) -> None:
+#: Artifact format version (bump on any incompatible field change).
+_NPZ_VERSION = 2
+
+
+def _value_to_json(v):
+    """Typed JSON encoding of payload values: the closed set of types the
+    framework produces (Searcher unit/ids/needle-bytes, Replacer Payloads,
+    plus JSON scalars/containers users may attach via buildWithValues)."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        return {"__b__": v.decode("latin-1")}
+    if isinstance(v, tuple):
+        return {"__t__": [_value_to_json(x) for x in v]}
+    if isinstance(v, list):
+        return [_value_to_json(x) for x in v]
+    if isinstance(v, dict):
+        return {"__d__": [[_value_to_json(k), _value_to_json(x)] for k, x in v.items()]}
+    from ..replacer import Payload
+
+    if isinstance(v, Payload):
+        return {
+            "__payload__": [
+                v.needle_priority,
+                v.needle_length_bytes,
+                v.needle_length_code_points,
+                v.needle_replacement.decode("latin-1"),
+            ]
+        }
+    raise TypeError(f"cannot persist value of type {type(v).__name__}")
+
+
+def _value_from_json(v):
+    if isinstance(v, dict):
+        if "__b__" in v:
+            return v["__b__"].encode("latin-1")
+        if "__t__" in v:
+            return tuple(_value_from_json(x) for x in v["__t__"])
+        if "__d__" in v:
+            return {_value_from_json(k): _value_from_json(x) for k, x in v["__d__"]}
+        if "__payload__" in v:
+            from ..replacer import Payload
+
+            p, lb, lc, rep = v["__payload__"]
+            return Payload(p, lb, lc, rep.encode("latin-1"))
+        raise ValueError(f"unknown tagged value {sorted(v)}")
+    if isinstance(v, list):
+        return [_value_from_json(x) for x in v]
+    return v
+
+
+def save_npz(machine: AcMachine, path: str, extra: Optional[dict] = None) -> None:
     """Persist the packed dense tables for fast cold start (SURVEY.md §5.4:
     the reference serializes by needle list and rebuilds on parse — we keep
     that canonical form in Searcher JSON, and additionally offer the packed
-    artifact).  Values must be needle byte strings or ints to round-trip."""
+    artifact).  Values round-trip via a versioned typed-JSON codec
+    (scalars, bytes, tuples/lists/dicts, Replacer Payloads).  ``extra`` is a
+    JSON-serializable metadata dict stored alongside (Searcher/Replacer use
+    it for the case mode)."""
+    import json
+
     np.savez_compressed(
         path,
+        version=np.int64(_NPZ_VERSION),
         delta=machine.delta,
         out_offset=machine.out_offset,
         out_values=machine.out_values,
         match_count=machine.match_count,
         needles=np.array([n.decode("latin-1") for n in machine.needles]),
-        values=np.array([repr(v) for v in machine.values]),
+        values=np.array(json.dumps([_value_to_json(v) for v in machine.values])),
+        extra=np.array(json.dumps(extra or {})),
         max_needle_bytes=np.int64(machine.max_needle_bytes),
     )
 
 
-def load_npz(path: str) -> AcMachine:
-    """Load a machine persisted by :func:`save_npz` (values via repr/eval of
-    plain literals)."""
-    import ast
+def load_npz(path: str, with_extra: bool = False):
+    """Load a machine persisted by :func:`save_npz`; with ``with_extra``
+    returns ``(machine, extra_dict)``."""
+    import json
 
     z = np.load(path, allow_pickle=False)
-    return AcMachine(
+    version = int(z["version"]) if "version" in z else 1
+    if version > _NPZ_VERSION:
+        raise ValueError(f"artifact version {version} is newer than this library")
+    if version >= 2:
+        values = [_value_from_json(v) for v in json.loads(str(z["values"]))]
+    else:  # v1: repr/literal_eval of plain literals
+        import ast
+
+        values = [ast.literal_eval(v) for v in z["values"].tolist()]
+    machine = AcMachine(
         delta=z["delta"],
         out_offset=z["out_offset"],
         out_values=z["out_values"],
         match_count=z["match_count"],
         needles=[n.encode("latin-1") for n in z["needles"].tolist()],
-        values=[ast.literal_eval(v) for v in z["values"].tolist()],
+        values=values,
         max_needle_bytes=int(z["max_needle_bytes"]),
     )
+    if with_extra:
+        extra = json.loads(str(z["extra"])) if "extra" in z else {}
+        return machine, extra
+    return machine
 
 
 def validate_machine(machine: AcMachine) -> None:

@@ -72,7 +72,8 @@ class Comb16Machine:
     classmap: np.ndarray  # int32 [256] byte -> class
     comb: np.ndarray  # int32 [rows_c * 128] packed 16-bit entry pairs
     aux: np.ndarray  # int32 [rows_a * 128] packed center-exception pairs
-    root_row: np.ndarray  # int32 [128] packed root row (k entries)
+    root_row: np.ndarray  # int32 [128] root row, one DIRECT entry per lane
+    #                       (k <= 96 entries; no 16-bit extraction needed)
     segtable: np.ndarray  # int32 [128] seg -> aux base of owning center
     base: np.ndarray  # int32 [n_states] unique in-range base per state
     cbase: np.ndarray  # int32 [D] aux base per center
@@ -139,7 +140,7 @@ class Comb16Machine:
         w2 = cb + classes
         e2 = _unpack16(self.aux, w2)
         hit2 = ((e2 >> self.BB) & self.owner_mask) == (cb & self.owner_mask)
-        er = _unpack16(self.root_row, classes)
+        er = self.root_row[classes].astype(np.int64)  # 32-bit direct entries
         e = np.where(hit1, e1, np.where(hit2, e2, er))
         nb = e & self.base_mask
         nxt = self.inv_base[nb]
@@ -464,9 +465,11 @@ def _build_with_fields(
     mach.aux = _pack16(a_entries, rows_a * 128)
 
     # --- root row + segtable -------------------------------------------------
-    if k > 256:
+    if k > 128:
         raise CapacityError("root row exceeds one physical row")
-    mach.root_row = _pack16(mach.pack_entry(comp[0], mc, 0), 128)
+    rr = np.zeros(128, dtype=np.int64)
+    rr[:k] = mach.pack_entry(comp[0], mc, 0)
+    mach.root_row = rr.astype(np.int32)
     seg = np.zeros(128, dtype=np.int32)
     for g in range(128):
         if g < len(seg_owner) and seg_owner[g] >= 0:
@@ -494,11 +497,16 @@ def _build_with_fields(
 
 def _lookup16(comb_rows_b, aux_rows_b, root_b, seg_b, cb, cls, C):
     """One three-tier transition: comb probe, aux probe (center base via the
-    segment-table gather), root-row fallback.  Returns the 16-bit entry with
-    garbage above bit 16 (every downstream field access masks)."""
+    segment-table gather), direct root-row fallback.  Returns the 16-bit
+    entry with garbage above bit 16 (every downstream field access masks).
+
+    On hardware the lane gather indexes mod 128, so the ``& 127`` clamps are
+    skipped outside interpreter mode (measured: garbage high index bits are
+    ignored — experiments/tpu_gather_semantics.py)."""
     BB, OM = C["BB"], C["owner_mask"]
+    clamp = (lambda x: x & 127) if C["interpret"] else (lambda x: x)
     w1 = cb + cls
-    p1 = (w1 >> 1) & 127
+    p1 = clamp(w1 >> 1)
     h1 = w1 >> 8
     v1 = None
     for r, row in enumerate(comb_rows_b):
@@ -508,7 +516,7 @@ def _lookup16(comb_rows_b, aux_rows_b, root_b, seg_b, cb, cls, C):
     hit1 = ((e1 >> BB) & OM) == (cb & OM)
     cbv = jnp.take_along_axis(seg_b, cb >> C["seg_shift"], axis=1)
     w2 = cbv + cls
-    p2 = (w2 >> 1) & 127
+    p2 = clamp(w2 >> 1)
     h2 = w2 >> 8
     v2 = None
     for r, row in enumerate(aux_rows_b):
@@ -516,8 +524,7 @@ def _lookup16(comb_rows_b, aux_rows_b, root_b, seg_b, cb, cls, C):
         v2 = cand if v2 is None else jnp.where(h2 == r, cand, v2)
     e2 = jnp.where((w2 & 1) == 1, v2 >> 16, v2)
     hit2 = ((e2 >> BB) & OM) == (cbv & OM)
-    vr = jnp.take_along_axis(root_b, (cls >> 1) & 127, axis=1)
-    er = jnp.where((cls & 1) == 1, vr >> 16, vr)
+    er = jnp.take_along_axis(root_b, cls, axis=1)  # direct 32-bit entries
     return jnp.where(hit1, e1, jnp.where(hit2, e2, er))
 
 
@@ -748,6 +755,7 @@ class Comb16PallasAcEngine(PallasAcEngine):
             rows_c=cm.rows_c,
             rows_a=cm.rows_a,
             root_cb=int(cm.base[0]),
+            interpret=self.interpret,
         )
 
     # -- counting -----------------------------------------------------------

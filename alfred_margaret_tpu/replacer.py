@@ -95,6 +95,17 @@ class Replacer:
     def case_sensitivity(self) -> CaseSensitivity:
         return self.searcher.case_sensitivity
 
+    # -- packed-table cold-start artifact ------------------------------------
+
+    def save_npz(self, path: str) -> None:
+        """Persist the built tables including the Payload values (the
+        typed-JSON npz codec handles them; see ``models.ac.save_npz``)."""
+        self.searcher.save_npz(path)
+
+    @classmethod
+    def load_npz(cls, path: str, engine: str = "auto") -> "Replacer":
+        return cls(Searcher.load_npz(path, engine=engine))
+
     def compose(self, other: "Replacer") -> Optional["Replacer"]:
         """``other`` after ``self`` (``compose``, ``Replacer.hs:120-133``);
         None if case sensitivities differ."""

@@ -142,6 +142,25 @@ class Searcher:
         pairs = [(n.encode("utf-8"), v) for n, v in obj["needles"]]
         return cls(case, pairs, engine=engine)
 
+    # -- packed-table cold-start artifact (TPU-native extension) ------------
+
+    def save_npz(self, path: str) -> None:
+        """Persist the built tables (no automaton rebuild on load, unlike
+        the JSON-by-needles form).  Values must be in the typed-JSON codec's
+        closed set (scalars, bytes, containers, Replacer Payloads)."""
+        ac.save_npz(
+            self._machine, path, extra={"caseSensitivity": self._case.to_json()}
+        )
+
+    @classmethod
+    def load_npz(cls, path: str, engine: str = "auto") -> "Searcher":
+        machine, extra = ac.load_npz(path, with_extra=True)
+        case = CaseSensitivity.from_json(extra["caseSensitivity"])
+        return cls(
+            case, list(zip(machine.needles, machine.values)),
+            machine=machine, engine=engine,
+        )
+
     # -- matching ----------------------------------------------------------
 
     def stage(self, haystack: utf8.TextLike):

@@ -21,25 +21,25 @@ from alfred_margaret_tpu.bench.dataformat import synth_corpus
 MB = 1 << 20
 
 
-def sustained(eng, st, n_bytes, target_s=1.2):
-    """reps-grid measurement: one launch re-reading resident tiles."""
+def sustained(eng, st, n_bytes, r1=2, r2=34):
+    """Two-size slope: (t(r2) - t(r1)) / (r2 - r1) cancels launch RTT and
+    relay jitter (best-of-5 per size, per the axon measurement rules)."""
     t0 = time.perf_counter()
     c1 = eng.count_staged(st)
     print(f"  compile+first: {time.perf_counter()-t0:.0f}s count={c1}", flush=True)
-    t0 = time.perf_counter()
-    eng.count_staged(st)
-    per = time.perf_counter() - t0
-    reps = max(1, min(256, int(target_s / max(per - 0.03, 1e-3))))
-    t0 = time.perf_counter()
-    c2 = eng.count_staged(st, reps)
-    dt = time.perf_counter() - t0
-    assert c2 == c1 * reps or reps == 1, (c2, c1, reps)
-    best = dt
-    for _ in range(2):
+    eng.count_staged(st, r1)  # warm both rep-grid compiles
+    eng.count_staged(st, r2)
+    best1 = best2 = 1e9
+    for _ in range(5):
         t0 = time.perf_counter()
-        eng.count_staged(st, reps)
-        best = min(best, time.perf_counter() - t0)
-    return n_bytes * reps / best / 1e9, reps, c1
+        a = eng.count_staged(st, r1)
+        best1 = min(best1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        b = eng.count_staged(st, r2)
+        best2 = min(best2, time.perf_counter() - t0)
+        assert a == c1 * r1 and b == c1 * r2
+    per_rep = (best2 - best1) / (r2 - r1)
+    return n_bytes / per_rep / 1e9, r2, c1
 
 
 def main():

@@ -152,3 +152,42 @@ class TestStructure:
             assert rt == r
             hay = "my Tshirt from İSTANBUL tshirt"
             assert rt.run(hay) == r.run(hay)
+
+
+class TestNpzRoundTrip:
+    def test_replacer_payload_round_trip(self, tmp_path):
+        """Payload values survive the packed artifact (versioned typed-JSON
+        codec), and the reloaded Replacer runs bit-exactly."""
+        from alfred_margaret_tpu.replacer import Replacer
+        from alfred_margaret_tpu.utils.case import CASE_SENSITIVE, IGNORE_CASE
+
+        pairs = [("tshirt", "TEE"), ("shirts", ""), ("ee", "f")]
+        r = Replacer.build(CASE_SENSITIVE, pairs, engine="python")
+        p = str(tmp_path / "r.npz")
+        r.save_npz(p)
+        r2 = Replacer.load_npz(p, engine="python")
+        hay = "tshirts, shirts and tees everywhere"
+        assert r2.run(hay) == r.run(hay)
+        assert r2.searcher.needles == r.searcher.needles
+
+        rci = Replacer.build(IGNORE_CASE, [("İstanbul", "IST"), ("ß", "ss")], engine="python")
+        pci = str(tmp_path / "rci.npz")
+        rci.save_npz(pci)
+        rci2 = Replacer.load_npz(pci, engine="python")
+        hay2 = "İSTANBUL straße"
+        assert rci2.run(hay2) == rci.run(hay2)
+        assert rci2.case_sensitivity is IGNORE_CASE
+
+    def test_searcher_value_types_round_trip(self, tmp_path):
+        from alfred_margaret_tpu.searcher import Searcher
+        from alfred_margaret_tpu.utils.case import CASE_SENSITIVE
+
+        vals = [(b"ab", (1, "x")), (b"bc", {"k": [1, 2, b"\xff"]}), (b"cd", None)]
+        s = Searcher.build_with_values(CASE_SENSITIVE, vals, engine="python")
+        p = str(tmp_path / "s.npz")
+        s.save_npz(p)
+        s2 = Searcher.load_npz(p, engine="python")
+        assert s2.needles == s.needles
+        got = [(m.pos, m.value) for m in s2.all_matches(b"zabcdz")]
+        want = [(m.pos, m.value) for m in s.all_matches(b"zabcdz")]
+        assert got == want
