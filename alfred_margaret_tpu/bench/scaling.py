@@ -47,6 +47,30 @@ def main(argv=None) -> int:
 
     devices = jax.devices()
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= len(devices)]
+
+    # Mesh-shape count invariance: the same corpus must count identically
+    # on EVERY mesh size and shape (data/seq/needle factorizations) — the
+    # correctness half of the scaling story, independent of the virtual
+    # mesh's inability to show hardware efficiency.
+    inv_corpus = np.frombuffer(
+        synth_corpus(needles, 4 * 1024 * 1024, hit_fraction=0.01, seed=7),
+        dtype=np.uint8,
+    )
+    inv_counts = {}
+    for n_dev in sizes:
+        shapes = [(n_dev, 1, 1)]
+        if n_dev % 2 == 0:
+            shapes += [(n_dev // 2, 2, 1), (n_dev // 2, 1, 2)]
+        for d, sq, nd in shapes:
+            eng = DistributedAcEngine(machine, make_mesh(devices[:n_dev], data=d, seq=sq, needle=nd))
+            inv_counts[(d, sq, nd)] = eng.count(inv_corpus)
+    assert len(set(inv_counts.values())) == 1, f"count varies by mesh: {inv_counts}"
+    print(json.dumps({
+        "invariance": "ok",
+        "shapes": len(inv_counts),
+        "count": next(iter(inv_counts.values())),
+    }), flush=True)
+
     base_bps = None
     for n_dev in sizes:
         corpus = synth_corpus(

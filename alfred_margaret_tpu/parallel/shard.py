@@ -23,7 +23,8 @@ The per-shard body is the Pallas count kernel on TPU backends and the
 
 from __future__ import annotations
 
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import Any, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -105,7 +106,8 @@ class DistributedAcEngine:
     (anywhere), or "auto".
     """
 
-    def __init__(self, machine: AcMachine, mesh: Mesh, inner: str = "auto", sub_build=None):
+    def __init__(self, machine: AcMachine, mesh: Mesh, inner: str = "auto", sub_build=None,
+                 interpret: bool = False):
         """``sub_build`` rebuilds a sub-automaton from (needle, value) pairs
         when the needle axis partitions the machine; defaults to ``ac.build``.
         Pass ``case_dfa.compose_build`` for composed IgnoreCase machines so
@@ -113,6 +115,7 @@ class DistributedAcEngine:
         would silently produce case-sensitive scanners)."""
         self.machine = machine
         self.mesh = mesh
+        self._interpret = interpret
         self._sub_build = sub_build if sub_build is not None else ac.build
         axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
         self.n_stream_shards = axis_sizes.get("data", 1) * axis_sizes.get("seq", 1)
@@ -124,18 +127,19 @@ class DistributedAcEngine:
             a for a in ("data", "seq", "needle") if a in mesh.axis_names
         )
         if inner == "auto":
-            inner = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+            inner = "pallas" if (interpret or jax.default_backend() in ("tpu", "axon")) else "xla"
         self.inner = inner
         self.overlap = max(0, machine.max_needle_bytes - 1)
 
         # Needle groups (G == 1 means the full machine).
         if self.n_needle_groups > 1:
-            vid_groups = _balanced_groups(machine, self.n_needle_groups)
+            self.vid_groups = _balanced_groups(machine, self.n_needle_groups)
             self.sub_machines = [
                 self._sub_build([(machine.needles[v], machine.values[v]) for v in vids])
-                for vids in vid_groups
+                for vids in self.vid_groups
             ]
         else:
+            self.vid_groups = [list(range(len(machine.needles)))]
             self.sub_machines = [machine]
 
         if self.inner == "pallas":
@@ -232,6 +236,8 @@ class DistributedAcEngine:
                 wpairs=self._wpairs,
             )
 
+            interp = self._interpret
+
             def local_counts(cm, tab, streams, warm, vend):
                 # cm [1,2,128], tab [1,rows,128] (this group's shard);
                 # streams [T, S_local]; warm/vend [S_local]
@@ -274,6 +280,7 @@ class DistributedAcEngine:
                         pltpu.VMEM((R_local, 128), jnp.int32),
                         pltpu.VMEM((R_local, 128), jnp.int32),
                     ],
+                    interpret=interp,
                 )(
                     bscal,
                     cm[0],
@@ -334,32 +341,39 @@ class DistributedAcEngine:
         )
         return plan, build_streams(data, plan)
 
-    def stage(self, text: utf8.TextLike):
+    def stage(self, text: utf8.TextLike) -> Optional["StagedMeshCorpus"]:
         """Lay out and shard the corpus over the mesh once; pass the handle
-        to ``count_staged`` for repeated scans without re-transfer (the
-        mesh analogue of ``MatchEngine.stage`` — the serving pattern)."""
+        to any operation for repeated scans without re-transfer (the mesh
+        analogue of ``MatchEngine.stage`` — the serving pattern)."""
         data = utf8.to_u8(text)
         if len(data) == 0:
             return None
         plan, (streams_ts, warm, vend) = self._layout(data)
         spec_streams = NamedSharding(self.mesh, P(None, self._stream_axes))
         spec_vec = NamedSharding(self.mesh, P(self._stream_axes))
-        return (
-            plan,
-            jax.device_put(streams_ts, spec_streams),
-            jax.device_put(warm, spec_vec),
-            jax.device_put(vend, spec_vec),
+        return StagedMeshCorpus(
+            plan=plan,
+            streams_d=jax.device_put(streams_ts, spec_streams),
+            warm_d=jax.device_put(warm, spec_vec),
+            vend_d=jax.device_put(vend, spec_vec),
+            warm_np=warm,
         )
 
-    def count_staged(self, staged) -> int:
+    def _staged_of(self, text) -> Optional["StagedMeshCorpus"]:
+        if text is None or isinstance(text, StagedMeshCorpus):
+            return text
+        return self.stage(text)
+
+    def count_staged(self, staged: Optional["StagedMeshCorpus"]) -> int:
         if staged is None:
             return 0
-        plan, streams_d, warm_d, vend_d = staged
-        step, table_args = self._get_step(plan.time_len, plan.n_streams)
-        return int(np.asarray(step(*table_args, streams_d, warm_d, vend_d)))
+        step, table_args = self._get_step(staged.plan.time_len, staged.plan.n_streams)
+        return int(
+            np.asarray(step(*table_args, staged.streams_d, staged.warm_d, staged.vend_d))
+        )
 
-    def count(self, text: utf8.TextLike) -> int:
-        return self.count_staged(self.stage(text))
+    def count(self, text) -> int:
+        return self.count_staged(self._staged_of(text))
 
     def _get_step(self, T: int, S: int):
         key = (T, S)
@@ -369,25 +383,117 @@ class DistributedAcEngine:
             self._count_step[key] = self._build_count_step(T, S)
         return self._count_step[key]
 
-    def contains_any(self, text: utf8.TextLike) -> bool:
-        return self.count(text) > 0
+    # -- existence (sticky absorbing-state kernel) ---------------------------
+
+    def _build_contains_step(self, T: int, S: int):
+        """Per-shard sticky (absorbing-state) scan: no count accumulation,
+        psum of per-shard absorb flags — the mesh analogue of the
+        single-chip existence kernel (``ops.pallas_scan._StickyView``)."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..ops import pallas_scan as ps
+
+        svs = [ps._StickyView(sm) for sm in self.sub_machines]
+        comps = [ps.CompressedMachine.from_machine(sv, force_packing=1) for sv in svs]
+        rows = max(c.rows for c in comps)
+        cms = np.stack([np.resize(c.classmap, 256).reshape(2, 128) for c in comps])
+        tabs = np.zeros((len(comps), rows, 128), dtype=np.int32)
+        absorbs = np.zeros((len(comps), 1), dtype=np.int32)
+        for g, (sv, c) in enumerate(zip(svs, comps)):
+            tabs[g, : c.rows] = c.packed.reshape(c.rows, 128)
+            absorbs[g, 0] = sv.absorb * c.k
+        fold = all(
+            bool((np.resize(c.classmap, 256)[127:] == c.classmap[127]).all())
+            for c in comps
+        )
+        in_range = max(c.n_states * c.k for c in comps) <= 128
+        wpairs = (
+            ps._classmap_wpairs(np.resize(comps[0].classmap, 256))
+            if len(comps) == 1
+            else None
+        )
+        mesh, stream_axes, all_axes = self.mesh, self._stream_axes, self._all_axes
+        S_local = S // self.n_stream_shards
+        R_local = S_local // 128
+        t_tile = 128 if T % 128 == 0 else T
+        n_tiles = T // t_tile
+        unroll = ps._fit_unroll(8 if rows <= 8 else (4 if rows <= 16 else 2), t_tile)
+        kernel = ps._make_contains_kernel(
+            t_tile, R_local, rows, n_tiles, unroll, 1,
+            packing=1, fold=fold, in_range=in_range, wpairs=wpairs,
+        )
+
+        interp = self._interpret
+
+        def per_shard(cm, tab, absorb, streams, warm, vend):
+            big = jnp.int32(2**31 - 1)
+            nzmin = jnp.min(jnp.where(vend > 0, vend, big))
+            bmin = jnp.where(jnp.any(vend > 0), nzmin, 0)
+            bscal = jnp.stack([warm.max(), bmin]).astype(jnp.int32)
+            out = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (t_tile, R_local, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec((R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((R_local, 128), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((R_local, 128), jnp.int32)],
+                interpret=interp,
+            )(bscal, cm[0], tab[0], vend.reshape(R_local, 128),
+              streams.reshape(T, R_local, 128))
+            live = vend.reshape(R_local, 128) > 0
+            hit = jnp.where(live, out == absorb[0, 0], False)
+            return jax.lax.psum(hit.sum().astype(jnp.int32), all_axes)
+
+        fn = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P("needle"), P("needle"), P("needle"),
+                      P(None, stream_axes), P(stream_axes), P(stream_axes)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(fn), (jnp.asarray(cms.astype(np.int32)), jnp.asarray(tabs),
+                             jnp.asarray(absorbs))
+
+    def contains_any(self, text) -> bool:
+        """Mesh-wide existence.  On the Pallas inner this runs the sticky
+        absorbing-state kernel per shard (no count ops, cf. the reference's
+        ``Done True`` early-exit fold, ``AhoCorasick/Searcher.hs:156-164``);
+        the XLA inner answers via the count step."""
+        staged = self._staged_of(text)
+        if staged is None:
+            return False
+        if self.inner != "pallas":
+            return self.count_staged(staged) > 0
+        key = ("contains", staged.plan.time_len, staged.plan.n_streams)
+        if self._count_step is None:
+            self._count_step = {}
+        if key not in self._count_step:
+            self._count_step[key] = self._build_contains_step(
+                staged.plan.time_len, staged.plan.n_streams
+            )
+        fn, table_args = self._count_step[key]
+        return int(np.asarray(
+            fn(*table_args, staged.streams_d, staged.warm_d, staged.vend_d)
+        )) > 0
 
     # -- positions ---------------------------------------------------------
 
-    def matches_arrays(self, text: utf8.TextLike):
-        """(ends, value_ids) identical to the single-chip scan for any
-        (data, seq) mesh shape: per-shard states are computed under
-        shard_map (stream shards re-derive exact state from their warm-up
-        overlap) and positions re-base by stream offset during assembly.
-
-        Needle-sharded meshes currently answer counts only."""
-        if self.n_needle_groups > 1:
-            raise NotImplementedError("positions on needle-sharded meshes")
-        data = utf8.to_u8(text)
-        if len(data) == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.int32)
-        plan, (streams_ts, warm, vend) = self._layout(data)
-        key = ("states", streams_ts.shape)
+    def _states_per_group(self, staged: "StagedMeshCorpus") -> np.ndarray:
+        """[G, T, S] per-position states, one slice per needle group (the
+        whole machine when the needle axis is trivial)."""
+        plan = staged.plan
+        key = ("states", plan.time_len, plan.n_streams)
         if self._count_step is None:
             self._count_step = {}
         if key not in self._count_step:
@@ -413,9 +519,14 @@ class DistributedAcEngine:
                     fold=self._fold, in_range=self._in_range, wpairs=self._wpairs,
                 )
                 rows = self._rows
-                k = int(np.asarray(self._cms[0]).max()) + 1
+                interp = self._interpret
+                kks = jnp.asarray(
+                    [[int(np.asarray(self._cms[g]).max()) + 1]
+                     for g in range(len(self.sub_machines))],
+                    dtype=jnp.int32,
+                )
 
-                def per_shard(cm, tab, streams):
+                def per_shard(cm, tab, kk, streams):
                     out = pl.pallas_call(
                         kernel,
                         grid=(n_tiles,),
@@ -433,36 +544,38 @@ class DistributedAcEngine:
                         ),
                         out_shape=jax.ShapeDtypeStruct((T, R_local, 128), jnp.int32),
                         scratch_shapes=[pltpu.VMEM((R_local, 128), jnp.int32)],
+                        interpret=interp,
                     )(cm[0], tab[0], streams.reshape(T, R_local, 128))
-                    # Decode packed values to state ids on-device.
-                    return ((out & ps._STATE_MASK) // k).reshape(T, S_local)
+                    # Decode packed values to this group's state ids on-device.
+                    return ((out & ps._STATE_MASK) // kk[0, 0]).reshape(1, T, S_local)
 
-                table_args = (self._cms, self._tabs)
-                table_specs = (P("needle"), P("needle"))
+                table_args = (self._cms, self._tabs, kks)
+                table_specs = (P("needle"), P("needle"), P("needle"))
             else:
                 table_args = (self._deltas,)
                 table_specs = (P("needle"),)
 
                 def per_shard(delta, streams):
-                    return local_scan_states(delta[0], streams)
+                    return local_scan_states(delta[0], streams)[None]
 
             fn = jax.jit(
                 jax.shard_map(
                     per_shard,
                     mesh=mesh,
                     in_specs=table_specs + (P(None, stream_axes),),
-                    out_specs=P(None, stream_axes),
-                    # The table arg is nominally needle-sharded (size 1 here);
-                    # replication of the output over it can't be inferred.
+                    out_specs=P("needle", None, stream_axes),
+                    # pallas_call's out_shape carries no varying-axes metadata.
                     check_vma=False,
                 )
             )
             self._count_step[key] = (fn, table_args)
         fn, table_args = self._count_step[key]
-        spec_streams = NamedSharding(self.mesh, P(None, self._stream_axes))
-        streams_d = jax.device_put(streams_ts, spec_streams)
-        states_ts = np.asarray(fn(*table_args, streams_d))
-        # Assemble per-position states in corpus order (emission regions).
+        return np.asarray(fn(*table_args, staged.streams_d))
+
+    def _assemble_flat(self, staged: "StagedMeshCorpus", states_ts: np.ndarray):
+        """Per-position states in corpus order from one group's [T, S]
+        time-major array (emission regions re-based by stream offset)."""
+        plan, warm = staged.plan, staged.warm_np
         n, S, L = plan.n, plan.n_streams, plan.emit_len
         flat = np.empty(n, dtype=np.int32)
         for i in range(S):
@@ -473,9 +586,77 @@ class DistributedAcEngine:
             flat[emit_begin:emit_end] = states_ts[
                 warm[i] : warm[i] + (emit_end - emit_begin), i
             ]
+        return flat
+
+    def matches_arrays(self, text):
+        """(ends, value_ids) identical to the single-chip scan for ANY mesh
+        shape: per-shard states are computed under shard_map (stream shards
+        re-derive exact state from their warm-up overlap; needle groups scan
+        independently), positions re-base by stream offset during assembly,
+        and cross-group matches merge by ``(end, -needle_byte_len)`` — the
+        reference's same-end emission order is own (longest) needle first
+        then strictly shorter failure-chain suffixes
+        (``src/Data/Text/AhoCorasick/Automaton.hs:367-380``), and same-end
+        same-length needles are byte-identical, hence in one group.
+
+        Accepts a raw haystack or a :class:`StagedMeshCorpus` handle."""
         from ..ops.xla_scan import extract_matches
 
-        return extract_matches(self.machine, flat)
+        staged = self._staged_of(text)
+        if staged is None:
+            return np.zeros(0, np.int64), np.zeros(0, np.int32)
+        states_g = self._states_per_group(staged)
+        all_ends: List[np.ndarray] = []
+        all_vids: List[np.ndarray] = []
+        for g, sub in enumerate(self.sub_machines):
+            flat = self._assemble_flat(staged, states_g[g])
+            ends, local_vids = extract_matches(sub, flat)
+            vid_map = np.asarray(self.vid_groups[g], dtype=np.int64)
+            all_ends.append(ends)
+            all_vids.append(vid_map[local_vids])
+        ends = np.concatenate(all_ends)
+        vids = np.concatenate(all_vids)
+        if len(ends) == 0 or self.n_needle_groups == 1:
+            return ends.astype(np.int64), vids.astype(np.int32)
+        lens = np.fromiter(
+            (len(self.machine.needles[int(v)]) for v in vids), np.int64, len(vids)
+        )
+        order = np.lexsort((-lens, ends))  # end asc, longer needle first
+        return ends[order].astype(np.int64), vids[order].astype(np.int32)
+
+    def value_presence(self, text, n_values: Optional[int] = None) -> np.ndarray:
+        """bool [n_values] — which values matched anywhere on the mesh (the
+        distributed ``containsAll`` primitive: all() of this vector is the
+        reference's ``Searcher.containsAll``)."""
+        if n_values is None:
+            n_values = len(self.machine.values)
+        present = np.zeros(n_values, dtype=bool)
+        staged = self._staged_of(text)
+        if staged is None:
+            return present
+        states_g = self._states_per_group(staged)
+        for g, sub in enumerate(self.sub_machines):
+            flat = self._assemble_flat(staged, states_g[g])
+            vid_map = np.asarray(self.vid_groups[g], dtype=np.int64)
+            for s in np.unique(flat[sub.match_count[flat] > 0]):
+                present[vid_map[np.asarray(sub.outputs(int(s)))]] = True
+        return present
+
+    def contains_all(self, text) -> bool:
+        """Distributed ``containsAll`` (``AhoCorasick/Searcher.hs:173-187``)."""
+        return bool(self.value_presence(text).all())
 
 
-__all__ = ["DistributedAcEngine", "make_mesh"]
+@dataclass
+class StagedMeshCorpus:
+    """Mesh-sharded corpus staging handle (streams laid out once, reused by
+    count / contains / matches / presence)."""
+
+    plan: StreamPlan
+    streams_d: Any
+    warm_d: Any
+    vend_d: Any
+    warm_np: np.ndarray
+
+
+__all__ = ["DistributedAcEngine", "StagedMeshCorpus", "make_mesh"]

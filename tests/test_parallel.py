@@ -119,3 +119,92 @@ def test_staged_mesh_scans(machine):
     assert eng.count_staged(st) == expected
     assert eng.count_staged(st) == expected
     assert eng.count_staged(eng.stage(b"")) == 0
+
+
+# --- full distributed surface (round-2: positions, presence, staged reuse) --
+
+
+def _mkset():
+    rng = np.random.default_rng(21)
+    needles = [
+        rng.integers(97, 104, size=int(rng.integers(2, 6))).astype(np.uint8).tobytes()
+        for _ in range(24)
+    ] + [b"dup", b"dup", b"abc", b"abcd", b"bcd"]
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    hay = (
+        rng.integers(97, 104, size=30000).astype(np.uint8).tobytes()
+        + b"dupabcd dup abcd"
+    )
+    return m, needles, hay
+
+
+@pytest.mark.parametrize("data,seq,needle", [(8, 1, 1), (2, 2, 2), (1, 2, 4)])
+def test_matches_arrays_all_mesh_shapes(data, seq, needle):
+    """Position SETS and emission order equal the single-chip oracle on
+    every mesh shape, including needle-sharded ones."""
+    m, needles, hay = _mkset()
+    mesh = make_mesh(jax.devices()[: data * seq * needle], data=data, seq=seq, needle=needle)
+    engine = DistributedAcEngine(m, mesh)
+    ends, vids = engine.matches_arrays(hay)
+    oracle = ac.all_matches(m, hay)
+    assert len(ends) == len(oracle)
+    assert all(
+        int(e) == o.pos and int(v) == o.value for e, v, o in zip(ends, vids, oracle)
+    )
+
+
+def test_staged_reuse_across_ops():
+    """One staging handle serves count, contains, matches and presence with
+    no re-layout."""
+    m, needles, hay = _mkset()
+    mesh = make_mesh(jax.devices()[:8], data=2, seq=2, needle=2)
+    engine = DistributedAcEngine(m, mesh)
+    st = engine.stage(hay)
+    expected = ac.count_matches(m, hay)
+    assert engine.count(st) == expected
+    assert engine.contains_any(st) is True
+    ends, vids = engine.matches_arrays(st)
+    assert len(ends) == expected
+    presence = engine.value_presence(st)
+    oracle_present = np.zeros(len(m.values), dtype=bool)
+    for x in ac.all_matches(m, hay):
+        oracle_present[x.value] = True
+    assert (presence == oracle_present).all()
+
+
+def test_contains_all_distributed():
+    m, needles, hay = _mkset()
+    mesh = make_mesh(jax.devices()[:8], data=4, seq=1, needle=2)
+    engine = DistributedAcEngine(m, mesh)
+    everything = hay + b" " + b" ".join(needles)
+    assert engine.contains_all(everything) is True
+    assert engine.contains_all(b"zzzz") is False
+
+
+def test_contains_any_distributed():
+    m, needles, hay = _mkset()
+    mesh = make_mesh(jax.devices()[:8], data=2, seq=2, needle=2)
+    engine = DistributedAcEngine(m, mesh)
+    assert engine.contains_any(hay) is True
+    assert engine.contains_any(b"zzzzzz") is False
+    assert engine.contains_any(b"") is False
+
+
+@pytest.mark.parametrize("data,seq,needle", [(2, 1, 2), (2, 2, 1)])
+def test_pallas_inner_interpret(data, seq, needle):
+    """The TPU per-shard kernels (count, sticky contains, states) under
+    shard_map, in interpreter mode on the virtual mesh — the same code path
+    real multi-chip runs take."""
+    m, needles, hay = _mkset()
+    hay = hay[:8000]
+    mesh = make_mesh(jax.devices()[: data * seq * needle], data=data, seq=seq, needle=needle)
+    engine = DistributedAcEngine(m, mesh, inner="pallas", interpret=True)
+    assert engine.inner == "pallas"
+    st = engine.stage(hay)
+    assert engine.count(st) == ac.count_matches(m, hay)
+    assert engine.contains_any(st) is True
+    assert engine.contains_any(b"zz" * 600) is False
+    ends, vids = engine.matches_arrays(st)
+    oracle = ac.all_matches(m, hay)
+    assert len(ends) == len(oracle)
+    assert all(int(e) == o.pos and int(v) == o.value for e, v, o in zip(ends, vids, oracle))
