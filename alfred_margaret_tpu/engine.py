@@ -276,6 +276,23 @@ class MatchEngine:
                 _STAGING_BPS = len(buf) / (time.perf_counter() - t0)
         return _STAGING_BPS >= 1e9
 
+    def _stream_scanner(self, n_bytes: int):
+        """Out-of-core streaming scanner when the input exceeds the staged
+        HBM budget (2x AMT_STREAM_CHUNK_MB), else None.  Chunked staging
+        keeps device memory constant and sidesteps giant one-shot
+        host->device transfers (ops.streaming)."""
+        limit = 2 * config.DEFAULT.stream_chunk_mb << 20
+        if n_bytes <= limit:
+            return None
+        from .ops.streaming import StreamingScanner
+
+        eng = self._pallas_engine()
+        if not hasattr(eng, "count_staged"):
+            return None  # xla fallback engine: no staged scan surface
+        return StreamingScanner(
+            eng, self.machine, chunk_bytes=config.DEFAULT.stream_chunk_mb << 20
+        )
+
     def _pick(self, n_bytes: int, staged: bool = False) -> str:
         if self.engine != "auto":
             return self.engine
@@ -392,7 +409,8 @@ class MatchEngine:
             if st is not None and hasattr(eng, "count_staged"):
                 got = eng.count_staged(st)
             else:
-                got = eng.count(data)
+                sc = self._stream_scanner(len(data))
+                got = sc.count(data) if sc is not None else eng.count(data)
         else:
             got = self._xla_engine().count(data)
         if self._validate:
@@ -429,6 +447,9 @@ class MatchEngine:
                     st = text.device if isinstance(text, StagedHaystack) else None
                     if st is not None:
                         return eng.contains_staged(st)
+                    sc = self._stream_scanner(len(data))
+                    if sc is not None:
+                        return sc.contains(data)
                     return eng.contains(data)
                 except CapacityError:
                     pass
@@ -455,7 +476,11 @@ class MatchEngine:
                     ends = lt.map_ends_to_raw(ends)
                 return MatchSet(ends=ends, value_ids=value_ids, lowered=lt)
             if hasattr(eng, "matches_arrays"):  # device extraction / grouped
-                ends, value_ids = eng.matches_arrays(data)
+                sc = self._stream_scanner(len(data))
+                if sc is not None:
+                    ends, value_ids = sc.matches_arrays(data)
+                else:
+                    ends, value_ids = eng.matches_arrays(data)
                 if lt is not None and len(ends):
                     ends = lt.map_ends_to_raw(ends)
                 return MatchSet(ends=ends, value_ids=value_ids, lowered=lt)

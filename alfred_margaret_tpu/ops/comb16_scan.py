@@ -943,3 +943,54 @@ __all__ = [
     "build_comb16",
     "comb16_structure_cost",
 ]
+
+
+def _c16_bits_tables(self):
+    """Match-bitmap kernel adapter for the 16-bit three-tier comb family
+    (see ``pallas_scan.make_matchbits_kernel``)."""
+    C = self._consts(self.c16)
+    fold, wpairs = self._fold, self._wpairs
+    rows_c, rows_a = C["rows_c"], C["rows_a"]
+    bmask = (1 << C["BB"]) - 1
+    cshift = C["count_shift"]
+    ranges = C["count_ranges"]
+    root_cb = C["root_cb"]
+    CB = C["CB"]
+
+    def step_factory(table_refs, R):
+        classmap_ref, comb_ref, aux_ref, rootseg_ref = table_refs
+        cls_rows = _broadcast_rows(classmap_ref[:], 2, R)
+        comb_b = _broadcast_rows(comb_ref[:], rows_c, R)
+        aux_b = _broadcast_rows(aux_ref[:], rows_a, R)
+        root_b = jax.lax.broadcast_in_dim(rootseg_ref[0], (R, 128), (1,))
+        seg_b = jax.lax.broadcast_in_dim(rootseg_ref[1], (R, 128), (1,))
+        carry0 = jnp.full((R, 128), root_cb, jnp.int32)
+
+        def step(cb, byte_rc):
+            cls = _class_of(byte_rc, cls_rows, fold, wpairs)
+            e = _lookup16(comb_b, aux_b, root_b, seg_b, cb, cls, C)
+            cb2 = e & bmask
+            if CB:
+                cnt = (e >> cshift) & 1
+                for rthr in ranges:
+                    cnt = cnt + jnp.where(cb2 >= rthr, 1, 0)
+            else:
+                cnt = jnp.zeros((R, 128), jnp.int32)
+            return cb2, cnt
+
+        return carry0, step
+
+    specs = (
+        pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_c, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_a, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )
+    return (
+        (self._classmap_dev, self._comb_dev, self._aux_dev, self._rootseg_dev),
+        specs,
+        step_factory,
+    )
+
+
+Comb16PallasAcEngine._bits_tables = _c16_bits_tables

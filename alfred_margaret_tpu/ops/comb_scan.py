@@ -883,3 +883,13 @@ __all__ = [
     "make_pallas_engine",
     "plan_pallas",
 ]
+
+
+def _comb32_no_bits(self):
+    """The 32-bit comb engine keeps the packed-states extraction path (its
+    mid-tier role is being taken over by comb16, which has the bitmap
+    path)."""
+    return None
+
+
+CombPallasAcEngine._bits_tables = _comb32_no_bits

@@ -284,9 +284,11 @@ class GroupedPallasAcEngine:
 
     def matches_arrays(self, text: utf8.TextLike) -> Tuple[np.ndarray, np.ndarray]:
         """(ends, value_ids) in reference emission order across all groups."""
+        return self.matches_arrays_staged(self._stage(text))
+
+    def matches_arrays_staged(self, st) -> Tuple[np.ndarray, np.ndarray]:
         from .pallas_scan import _expand_outputs
 
-        st = self._stage(text)
         all_ends: List[np.ndarray] = []
         all_vids: List[np.ndarray] = []
         for eng, vid_map in zip(self.engines, self.vid_maps):

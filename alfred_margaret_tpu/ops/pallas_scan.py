@@ -559,6 +559,10 @@ class StagedStreams:
     #: conservative scalars if its own machine is not.
     zero_inert: bool = False
     _bscal_strict: Any = None
+    #: Host reference to the raw corpus bytes (staged scans keep it so the
+    #: match-bitmap path can re-derive hit states without any big device
+    #: readback); None when staging was handed pre-built streams only.
+    data_np: Any = None
 
 
 class PallasAcEngine:
@@ -794,6 +798,7 @@ class PallasAcEngine:
             bscal=bscal,
             live_np=(vend.reshape(self.R, 128) > 0),
             zero_inert=zi,
+            data_np=data,
         )
 
     def _bscal_for(self, st: StagedStreams):
@@ -1036,3 +1041,275 @@ __all__ = [
     "CapacityError",
     "MAX_ROWS",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Match-bitmap kernels (in-kernel compaction support)
+# ---------------------------------------------------------------------------
+
+
+def make_matchbits_kernel(T_TILE, R, step_factory, n_tiles):
+    """Counts + 1-bit-per-position hit bitmap in ONE scan.
+
+    The packed-states extraction path writes 4 B per input byte to HBM and
+    re-reads it to compact; this kernel writes ``1/8`` B per byte instead
+    (32 positions per int32 word) — hit positions come back sparse via a
+    word-level nonzero, and hit STATES are re-derived exactly from the raw
+    bytes (AC states depend on at most ``max_needle_bytes`` of history, so a
+    from-root replay of that window is exact).
+
+    ``step_factory(refs) -> (carry0, step)`` adapts the kernel to a table
+    family: ``step(carry, byte_rc) -> (carry, cnt)`` is one transition over
+    [R, 128] lanes.  The time loop is fixed at 32 steps per body (one bitmap
+    word), so ``T_TILE % 32 == 0`` is required.
+
+    Bits are set for every scan hit including warm-up overlap duplicates
+    and (for non-zero-inert machines) pad bytes; the host filters by each
+    stream's [warm, vend) when expanding.  The counts output carries the
+    usual boundary masking and IS exact.
+    """
+    assert T_TILE % 32 == 0
+
+    def kernel(bscal_ref, *rest):
+        # rest = (*table_refs, warm_ref, vend_ref, streams_ref,
+        #         counts_out, bits_out, carry_scr..., count_scr)
+        table_refs = rest[:-7]
+        warm_ref, vend_ref, streams_ref, counts_out, bits_out, carry_scr, count_scr = rest[-7:]
+        tile = pl.program_id(0)
+
+        carry0, step = step_factory(table_refs, R)
+
+        @pl.when(tile == 0)
+        def _init():
+            carry_scr[:] = carry0
+            count_scr[:] = jnp.zeros((R, 128), jnp.int32)
+
+        warm = warm_ref[:]
+        vend = vend_ref[:]
+        t0 = tile * T_TILE
+
+        def make_body(masked):
+            def body(w, carry_counts):
+                carry, counts = carry_counts
+                bmp = jnp.zeros((R, 128), jnp.int32)
+                for j in range(32):
+                    t = w * 32 + j
+                    byte_rc = streams_ref[t].astype(jnp.int32)
+                    carry, cnt = step(carry, byte_rc)
+                    bmp = bmp | jnp.where(cnt > 0, jnp.int32(1) << j, 0)
+                    if masked:
+                        tg = t0 + t
+                        cnt = jnp.where((tg >= warm) & (tg < vend), cnt, 0)
+                    counts = counts + cnt
+                bits_out[w] = bmp
+                return carry, counts
+
+            return body
+
+        is_boundary = (t0 < bscal_ref[0]) | (t0 + T_TILE > bscal_ref[1])
+        carry, counts = jax.lax.cond(
+            is_boundary,
+            lambda c: jax.lax.fori_loop(0, T_TILE // 32, make_body(True), c),
+            lambda c: jax.lax.fori_loop(0, T_TILE // 32, make_body(False), c),
+            (carry_scr[:], count_scr[:]),
+        )
+        carry_scr[:] = carry
+        count_scr[:] = counts
+
+        @pl.when(tile == n_tiles - 1)
+        def _fin():
+            counts_out[:] = count_scr[:]
+
+    return kernel
+
+
+def states_at_positions(machine, data: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Entered state at each end position, re-derived from the raw bytes.
+
+    Exact by the automaton's synchronization property: the state after any
+    byte equals the longest needle-prefix suffix of the input, whose length
+    is at most ``max_needle_bytes`` — so a from-root replay of the last
+    ``max_needle_bytes`` bytes lands on the true state (from-start replays
+    are trivially exact for shorter prefixes).  Vectorized across positions:
+    W steps of batched delta gathers (W = max needle bytes).
+    """
+    if len(pos) == 0:
+        return np.zeros(0, dtype=np.int64)
+    W = max(1, machine.max_needle_bytes)
+    delta = machine.delta
+    starts = np.asarray(pos, dtype=np.int64) - W
+    states = np.zeros(len(pos), dtype=np.int64)
+    for j in range(W):
+        idx = starts + j
+        valid = idx >= 0
+        b = data[np.where(valid, idx, 0)]
+        nxt = delta[states, b]
+        states = np.where(valid, nxt, states)
+    return states
+
+
+def _attach_bits_path(cls):
+    """Attach the match-bitmap extraction path to PallasAcEngine (defined
+    after the class so the module-level kernel helpers exist)."""
+
+    def _bits_tables(self):
+        """(device table args, their BlockSpecs, step_factory) for the
+        match-bitmap kernel — the dense select-chain family."""
+        packing = self.comp.packing
+        in_range = self._in_range
+        state_bits = self.comp.state_bits
+        state_mask = self.comp.state_mask
+        fold, wpairs, interpret = self._fold, self._wpairs, self.interpret
+        rows = self.comp.rows
+
+        def step_factory(table_refs, R):
+            classmap_ref, table_ref = table_refs
+            cls_rows = _broadcast_rows(classmap_ref[:], 2, R)
+            row_bcasts = _broadcast_rows(table_ref[:], rows, R)
+            carry0 = jnp.zeros((R, 128), jnp.int32)
+
+            def step(sbase, byte_rc):
+                cls = _class_of(byte_rc, cls_rows, fold, wpairs)
+                v = _lookup_flat(row_bcasts, sbase + cls, packing, in_range,
+                                 wrap=interpret and in_range)
+                return v & state_mask, v >> state_bits
+
+            return carry0, step
+
+        from jax.experimental.pallas import tpu as pltpu
+        from jax.experimental import pallas as pl
+
+        specs = (
+            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        )
+        return (self._classmap_dev, self._table_dev), specs, step_factory
+
+    def _get_bits_fn(self, T: int):
+        key = ("bits", T)
+        if key not in self._count_fn:
+            bt = self._bits_tables()
+            if bt is None:
+                return None
+            table_args, table_specs, step_factory = bt
+            t_tile = self.t_tile
+            if t_tile % 32:
+                return None
+            n_tiles = T // t_tile
+            R = self.R
+            kernel = make_matchbits_kernel(t_tile, R, step_factory, n_tiles)
+
+            @jax.jit
+            def run(bscal, *args):
+                *tabs, warm, vend, streams_u8 = args
+                streams = streams_u8.reshape(T, R, 128)
+                return pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles,),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                    + list(table_specs)
+                    + [
+                        pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (t_tile, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                        ),
+                    ],
+                    out_specs=(
+                        pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (t_tile // 32, R, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ),
+                    out_shape=(
+                        jax.ShapeDtypeStruct((R, 128), jnp.int32),
+                        jax.ShapeDtypeStruct((T // 32, R, 128), jnp.int32),
+                    ),
+                    scratch_shapes=[
+                        pltpu.VMEM((R, 128), jnp.int32),
+                        pltpu.VMEM((R, 128), jnp.int32),
+                    ],
+                    interpret=self.interpret,
+                )(bscal, *tabs, warm, vend, streams)
+
+            self._count_fn[key] = run
+        return self._count_fn[key]
+
+    def _get_wordnz_fn(self, nwords: int, cap: int):
+        key = ("wordnz", nwords, cap)
+        if key not in self._count_fn:
+
+            @jax.jit
+            def wz(bits):
+                flat = bits.reshape(-1)
+                nz = flat != 0
+                n = jnp.sum(nz, dtype=jnp.int32)
+                (widx,) = jnp.nonzero(nz, size=cap, fill_value=0)
+                return widx, flat[widx], n
+
+            self._count_fn[key] = wz
+        return self._count_fn[key]
+
+    def match_positions_staged_bits(self, st):
+        """Bitmap-compacted (positions, states): ~1/32 the HBM write traffic
+        of the packed-states path; hit states re-derived from the raw bytes
+        (see ``states_at_positions``).  None when unsupported."""
+        if st.data_np is None:
+            return None
+        fn = self._get_bits_fn(st.plan.time_len)
+        if fn is None:
+            return None
+        counts, bits = fn(
+            self._bscal_for(st), *self._bits_tables()[0],
+            st.warm_t, st.vend_t, st.streams_dev,
+        )
+        counts_np = np.asarray(counts, dtype=np.int64)
+        if st.live_np is not None:
+            counts_np = counts_np[st.live_np]
+        total = int(counts_np.sum())
+        if total == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        S = self.S
+        nwords = (st.plan.time_len // 32) * S
+        cap = 1 << int(np.ceil(np.log2(min(total + 64, nwords) + 1)))
+        while True:
+            widx, wval, n = self._get_wordnz_fn(nwords, cap)(bits)
+            n = int(n)
+            if n <= cap:
+                break
+            cap = 1 << int(np.ceil(np.log2(n + 1)))
+        widx = np.asarray(widx[:n], dtype=np.int64)
+        wval = np.asarray(wval[:n], dtype=np.int64) & 0xFFFFFFFF
+        # Expand word bits -> (t, s); filter warm-up overlap + pad bits.
+        tw = widx // S
+        s = widx % S
+        bit = np.nonzero(((wval[:, None] >> np.arange(32)[None, :]) & 1))
+        t = tw[bit[0]] * 32 + bit[1]
+        s = s[bit[0]]
+        warm = st.warm_np.astype(np.int64)
+        vend = np.asarray(st.vend_t).reshape(-1).astype(np.int64)
+        keep = (t >= warm[s]) & (t < vend[s])
+        t, s = t[keep], s[keep]
+        pos = s * st.plan.emit_len + (t - warm[s]) + 1
+        states = states_at_positions(self.machine, st.data_np, pos)
+        order = np.argsort(pos, kind="stable")
+        return pos[order], states[order]
+
+    cls._bits_tables = _bits_tables
+    cls._get_bits_fn = _get_bits_fn
+    cls._get_wordnz_fn = _get_wordnz_fn
+    cls.match_positions_staged_bits = match_positions_staged_bits
+
+    orig = cls.match_positions_staged
+
+    def match_positions_staged(self, st):
+        got = self.match_positions_staged_bits(st)
+        if got is not None:
+            return got
+        return orig(self, st)
+
+    cls.match_positions_staged = match_positions_staged
+
+
+_attach_bits_path(PallasAcEngine)

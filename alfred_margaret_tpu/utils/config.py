@@ -15,6 +15,10 @@ environment (prefix ``AMT_``):
   AMT_COMPOSED_CI  max automaton states for which IgnoreCase scans build
                    the composed case-folding DFA (models.case_dfa) and scan
                    raw bytes; 0 disables composition entirely
+  AMT_STREAM_CHUNK_MB  out-of-core chunk size: device scans of inputs
+                   larger than 2x this stream through fixed-size staged
+                   chunks (ops.streaming) instead of staging the whole
+                   corpus in HBM
 """
 
 from __future__ import annotations
@@ -37,6 +41,7 @@ class EngineConfig:
     interpret: bool = False
     validate: bool = False
     composed_ci_max_states: int = 4096
+    stream_chunk_mb: int = 128
 
     @staticmethod
     def from_env() -> "EngineConfig":
@@ -47,6 +52,7 @@ class EngineConfig:
             interpret=bool(os.environ.get("AMT_INTERPRET")),
             validate=bool(os.environ.get("AMT_VALIDATE")),
             composed_ci_max_states=_env_int("AMT_COMPOSED_CI", 4096),
+            stream_chunk_mb=_env_int("AMT_STREAM_CHUNK_MB", 128),
         )
 
 

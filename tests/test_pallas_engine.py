@@ -333,7 +333,7 @@ class TestCombEngine:
         )[:100]
         m = ac.build([(n, i) for i, n in enumerate(needles)])
         kind, rows = plan_pallas(m)
-        assert kind == "comb"
+        assert kind in ("comb", "comb16")  # comb16 wins since round 2
         with pytest.raises(CapacityError):
             CompressedMachine.from_machine(m)  # dense cannot even fit
 
