@@ -1,6 +1,7 @@
 """Case-insensitive Boyer-Moore tests, porting
 `tests/Data/Text/BoyerMooreCISpec.hs`."""
 
+import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -148,3 +149,101 @@ class TestReplacer:
         expected = Replacer.build(IGNORE_CASE, [(lneedle, replacement)]).run(haystack)
         auto = build_automaton(lneedle)
         assert replace_single_limited(auto, replacement, haystack) == expected
+
+
+class TestClassicSkipTables:
+    """The genuine backwards skip-table machinery
+    (BoyerMooreCI/Automaton.hs:266-477), round 2."""
+
+    def test_suffix_table_worked_example(self):
+        # The reference's documented `ababa` walk-through
+        # (Automaton.hs:300-310): init1 gives [2,2,4,4,5], the final write
+        # sets the last position to 1.
+        from alfred_margaret_tpu.boyer_moore_ci.automaton import build_suffix_table
+
+        cps = tuple(ord(c) for c in "ababa")
+        assert build_suffix_table(cps) == [2, 2, 4, 4, 1]
+
+    def test_substring_is_suffix_examples(self):
+        # Automaton.hs:366-374 doc examples.
+        from alfred_margaret_tpu.boyer_moore_ci.automaton import _substring_is_suffix
+
+        ab = tuple(ord(c) for c in "ababa")
+        assert all(_substring_is_suffix(ab, p) is None for p in range(5))
+        ba = tuple(ord(c) for c in "baba")
+        assert _substring_is_suffix(ba, 0) is None
+        assert _substring_is_suffix(ba, 1) is None
+        s = tuple(ord(c) for c in "abaacbbaac")
+        assert _substring_is_suffix(s, 4) == 4
+        s2 = tuple(ord(c) for c in "abaacaabcbaac")
+        assert _substring_is_suffix(s2, 4) == 4
+        assert _substring_is_suffix(s2, 8) == 1
+
+    def test_bad_char_table(self):
+        from alfred_margaret_tpu.boyer_moore_ci.automaton import build_bad_char
+
+        cps = tuple(ord(c) for c in "adcd")
+        table, spill, default = build_bad_char(cps)
+        assert default == 4
+        assert table[ord("a")] == 3  # bytes remaining after 'a'
+        assert table[ord("d")] == 2  # rightmost non-final 'd' (index 1)
+        assert table[ord("c")] == 1
+        assert table[ord("z")] == 4  # absent characters skip the whole pattern
+        cps2 = tuple(ord(c) for c in "aд💩x")  # cp >= 256 spill entries
+        t2, sp2, d2 = build_bad_char(cps2)
+        assert ord("д") in sp2 and ord("💩") in sp2
+
+    def test_classic_equals_default_engine(self):
+        from alfred_margaret_tpu.boyer_moore_ci.automaton import (
+            build_automaton, matches, matches_classic,
+        )
+
+        rng = np.random.default_rng(31)
+        alphabet = list("abAB12ßẞİiKkÅå") + ["д", "Д", "ⱥ", "Ⱥ", "ⱦ", "Ⱦ", "💩", "𝄞"]
+        for trial in range(60):
+            nlen = int(rng.integers(1, 5))
+            needle = "".join(rng.choice(alphabet, size=nlen))
+            from alfred_margaret_tpu.utils import utf8 as u8
+
+            needle = u8.lower_str(needle)  # patterns are lowercase
+            hay = "".join(rng.choice(alphabet, size=int(rng.integers(0, 60))))
+            a = build_automaton(needle)
+            assert matches_classic(a, hay) == matches(a, hay), (needle, hay)
+
+    def test_classic_goldens(self):
+        from alfred_margaret_tpu.boyer_moore_ci.automaton import (
+            build_automaton, matches_classic,
+        )
+
+        # Cyrillic byte positions (2-byte cps; BoyerMooreCISpec.hs:52-67).
+        a = build_automaton("дом")
+        got = matches_classic(a, "ДОМ дом Дом")
+        assert got == [(0, 5), (7, 12), (14, 19)]
+        # ⱥ shrinking-byte-length variants (BoyerMooreCISpec.hs:79-87):
+        # haystack Ⱥ is 2 bytes while pattern ⱥ is 3.
+        a2 = build_automaton("ⱥb")
+        assert matches_classic(a2, "Ⱥb xⱥb") == [(0, 2), (5, 8)]
+        # Non-overlap: the second "aa" starts after the first match ends.
+        a3 = build_automaton("aa")
+        assert matches_classic(a3, "aaaa") == [(0, 1), (2, 3)]
+        # Early exit (Done).
+        from alfred_margaret_tpu.boyer_moore_ci.automaton import run_text_classic
+        from alfred_margaret_tpu.models.ac import Done
+
+        hits = []
+
+        def first(acc, frm, to):
+            hits.append((frm, to))
+            return Done(acc)
+
+        run_text_classic(None, first, a3, "aaaa")
+        assert hits == [(0, 1)]
+
+    def test_classic_invalid_bytes(self):
+        from alfred_margaret_tpu.boyer_moore_ci.automaton import (
+            build_automaton, matches, matches_classic,
+        )
+
+        a = build_automaton("ab")
+        hay = b"\xffab \x80ab \xc2ab \xe0\x80ab"
+        assert matches_classic(a, hay) == matches(a, hay)
