@@ -46,15 +46,30 @@ def write_bench_file(path: str, needles: List[str], haystack: str, encoding: str
 def synth_corpus(
     needles: List[str], size_bytes: int, hit_fraction: float = 0.01, seed: int = 0
 ) -> bytes:
-    """A corpus of random words with the needles sprinkled in at roughly
-    ``hit_fraction`` of word positions."""
+    """A corpus of random words with the needles sprinkled in at
+    ``hit_fraction`` of word positions.
+
+    (Round-2 fix: the old vocab construction replicated every needle
+    ``hit_fraction * 200`` times INTO the vocabulary, so for large needle
+    lists needle words dominated — config 5's "1%" corpus was actually 83%
+    needle words, ~10% of BYTES match ends.  Now a word is a needle with
+    probability ``hit_fraction`` exactly as documented, independent of the
+    needle count.)"""
     rng = np.random.default_rng(seed)
     filler = [
         "".join(chr(97 + c) for c in rng.integers(0, 26, size=rng.integers(3, 10)))
         for _ in range(200)
     ]
-    vocab = filler + [n for n in needles for _ in range(max(1, int(hit_fraction * len(filler))))]
-    words = rng.choice(len(vocab), size=min(max(64, size_bytes // 6), 100_000))
-    block = " ".join(vocab[i] for i in words).encode("utf-8")
+    n_words = min(max(64, size_bytes // 6), 100_000)
+    is_needle = rng.random(n_words) < hit_fraction
+    fill_idx = rng.integers(0, len(filler), size=n_words)
+    needle_idx = rng.integers(0, max(1, len(needles)), size=n_words)
+    if not needles:
+        is_needle[:] = False
+    words = [
+        (needles[needle_idx[i]] if is_needle[i] else filler[fill_idx[i]])
+        for i in range(n_words)
+    ]
+    block = " ".join(words).encode("utf-8")
     reps = size_bytes // len(block) + 1
     return (block * reps)[:size_bytes]

@@ -618,3 +618,129 @@ int32_t am_is_ascii(const uint8_t* data, int64_t n) {
 
 }  // extern "C"
 
+
+// ---------------------------------------------------------------------------
+// Prefilter-verify engine for large needle sets (all needles >= 5 bytes).
+//
+// The dense-DFA scan is latency-bound on its per-byte table load; for 10k+
+// needle sets the table blows the caches and throughput collapses (~0.3-1
+// GB/s).  But with min needle length >= 5 every match START must begin with
+// some needle's 5-byte prefix, and on realistic byte distributions that is
+// a rare event — so a rolling 5-byte window probed against an L1-resident
+// blocked Bloom filter skips ~99% of positions, and only candidates touch
+// the exact prefix map + tail memcmp.  Counts are (start, needle)
+// occurrences == the AC engines' (end, needle) totals, duplicates and
+// overlaps included.  (Role analogue: the reference counts all matches via
+// its AC fold, benchmark/haskell/app/Main.hs:67-76; this is the
+// cache-conscious host path for needle sets the VMEM kernels can't hold.)
+// ---------------------------------------------------------------------------
+
+namespace prefilter {
+
+static inline uint64_t mix5(uint64_t w) {
+  // 5 significant bytes, one 64-bit multiply: the HIGH bits of w * odd
+  // constant are well mixed (Knuth multiplicative hashing) — the filter
+  // loop is latency-sensitive, so only bits >= 24 may be used downstream.
+  return w * 0x9E3779B97F4A7C15ull;
+}
+
+struct Tables {
+  const uint32_t* bloom;   // [bloom_words], power of two
+  uint32_t bloom_mask;     // bloom_words - 1
+  const uint64_t* keys;    // [slots] 5-byte prefix keys (~0 = empty)
+  const int32_t* grp_off;  // [slots + 1] CSR into grp_needles
+  const int32_t* grp_needles;  // needle ids, duplicates listed
+  uint32_t slot_mask;      // slots - 1
+  const int32_t* nb_off;   // [n_needles + 1] CSR into nb_bytes
+  const uint8_t* nb_bytes; // needle bytes, concatenated
+};
+
+static const uint64_t KEY_EMPTY = ~0ull;
+
+// Scan starts in [a, b): count (or find first) verified matches.
+// stop_at_first: return the first match start (>= 0) or -1; else the count.
+static int64_t scan_range(const Tables& t, const uint8_t* data, int64_t n,
+                          int64_t a, int64_t b, bool stop_at_first) {
+  if (b > n - 4) b = n - 4 < a ? a : n - 4;  // a start needs 5 bytes
+  int64_t total = 0;
+  uint64_t w = 0;
+  // Preload the first 4 window bytes so the loop body is uniform.
+  for (int64_t i = a; i < a + 4 && i < n; i++) w = (w >> 8) | ((uint64_t)data[i] << 32);
+  for (int64_t p = a; p < b; p++) {
+    w = (w >> 8) | ((uint64_t)data[p + 4] << 32);
+    uint64_t h = mix5(w);
+    uint32_t word = t.bloom[(uint32_t)(h >> 24) & t.bloom_mask];
+    uint32_t bit1 = (uint32_t)(h >> 54) & 31, bit2 = (uint32_t)(h >> 59) & 31;
+    if ((word & (1u << bit1)) && (word & (1u << bit2))) {
+      // Candidate: exact prefix map (open addressing, linear probe).
+      uint32_t slot = (uint32_t)(h >> 40) & t.slot_mask;
+      while (true) {
+        uint64_t k = t.keys[slot];
+        if (k == KEY_EMPTY) break;
+        if (k == w) {
+          for (int32_t gi = t.grp_off[slot]; gi < t.grp_off[slot + 1]; gi++) {
+            int32_t nid = t.grp_needles[gi];
+            int64_t len = t.nb_off[nid + 1] - t.nb_off[nid];
+            if (p + len <= n &&
+                (len <= 5 ||
+                 memcmp(data + p + 5, t.nb_bytes + t.nb_off[nid] + 5,
+                        (size_t)(len - 5)) == 0)) {
+              if (stop_at_first) return p;
+              total++;
+            }
+          }
+          break;
+        }
+        slot = (slot + 1) & t.slot_mask;
+      }
+    }
+  }
+  return stop_at_first ? -1 : total;
+}
+
+}  // namespace prefilter
+
+extern "C" {
+
+// Multithreaded prefilter count over all match starts.
+int64_t am_prefilter_count(const uint32_t* bloom, int64_t bloom_words,
+                           const uint64_t* keys, const int32_t* grp_off,
+                           const int32_t* grp_needles, int64_t slots,
+                           const int32_t* nb_off, const uint8_t* nb_bytes,
+                           const uint8_t* data, int64_t n, int32_t n_threads) {
+  prefilter::Tables t{bloom, (uint32_t)(bloom_words - 1), keys, grp_off,
+                      grp_needles, (uint32_t)(slots - 1), nb_off, nb_bytes};
+  if (n < 5) return 0;
+  if (n_threads <= 1 || n < (int64_t)n_threads * 65536) {
+    return prefilter::scan_range(t, data, n, 0, n - 4, false);
+  }
+  std::vector<std::thread> threads;
+  std::vector<int64_t> totals((size_t)n_threads, 0);
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int32_t ti = 0; ti < n_threads; ti++) {
+    int64_t a = (int64_t)ti * chunk;
+    int64_t b = a + chunk < n - 4 ? a + chunk : n - 4;
+    if (a >= b) continue;
+    threads.emplace_back([&, ti, a, b] {
+      totals[(size_t)ti] = prefilter::scan_range(t, data, n, a, b, false);
+    });
+  }
+  for (auto& th : threads) th.join();
+  int64_t total = 0;
+  for (int64_t v : totals) total += v;
+  return total;
+}
+
+// First verified match start in [0, n), or -1 (containsAny early exit).
+int64_t am_prefilter_first(const uint32_t* bloom, int64_t bloom_words,
+                           const uint64_t* keys, const int32_t* grp_off,
+                           const int32_t* grp_needles, int64_t slots,
+                           const int32_t* nb_off, const uint8_t* nb_bytes,
+                           const uint8_t* data, int64_t n) {
+  prefilter::Tables t{bloom, (uint32_t)(bloom_words - 1), keys, grp_off,
+                      grp_needles, (uint32_t)(slots - 1), nb_off, nb_bytes};
+  if (n < 5) return -1;
+  return prefilter::scan_range(t, data, n, 0, n - 4, true);
+}
+
+}  // extern "C"

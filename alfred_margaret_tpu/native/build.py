@@ -193,5 +193,19 @@ def load() -> ctypes.CDLL:
         lib.am_lower_ascii.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         lib.am_is_ascii.restype = ctypes.c_int32
         lib.am_is_ascii.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        _pf = [
+            ctypes.c_void_p, ctypes.c_int64,  # bloom, bloom_words
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,  # nb_off, nb_bytes
+            ctypes.c_void_p, ctypes.c_int64,  # data, n
+        ]
+        lib.am_prefilter_count.restype = ctypes.c_int64
+        lib.am_prefilter_count.argtypes = _pf + [ctypes.c_int32]
+        lib.am_prefilter_first.restype = ctypes.c_int64
+        lib.am_prefilter_first.argtypes = list(_pf)
         _LIB = lib
         return lib
+
+
+def default_threads() -> int:
+    return min(16, os.cpu_count() or 1)

@@ -127,42 +127,59 @@ def partition_adaptive(
 
     rows_of: dict = {}
 
-    def fits(i: int, g: int) -> bool:
-        sub = ac.build([(uniq[i + j][0], 0) for j in range(g)])
-        try:
-            _, rows_of[i, g] = plan_pallas(sub, max_rows)
-            return True
-        except CapacityError:
-            return False
+    def cost(i: int, g: int):
+        """Per-byte gather cost of a [i, i+g) group, or None if nothing fits."""
+        if (i, g) not in rows_of:
+            sub = ac.build([(uniq[i + j][0], 0) for j in range(g)])
+            try:
+                _, rows_of[i, g] = plan_pallas(sub, max_rows)
+            except CapacityError:
+                rows_of[i, g] = None
+        return rows_of[i, g]
 
     groups: List[List[int]] = []
     group_rows: List[int] = []
     i = 0
     while i < N:
-        lo, g = 0, min(64, N - i)
-        hi = None
-        while hi is None:
-            if fits(i, g):
-                lo = g
-                if g == N - i:
-                    break
+        # Grow the group along a geometric ladder while the gather cost PER
+        # NEEDLE keeps improving: the scan rate is ~165/total_gathers GB/s,
+        # so minimizing sum(cost) == minimizing cost/needle group by group.
+        # (Maximizing raw group size would favor large high-cost comb32
+        # groups over more, cheaper comb16 groups.)
+        g = min(32, N - i)
+        c = cost(i, g)
+        if c is None:
+            # Even the seed size overflows: shrink until something fits.
+            g //= 2
+            while g >= 1 and cost(i, g) is None:
+                g //= 2
+            if g == 0:
+                raise CapacityError(
+                    f"needle {uniq[i][0]!r} alone exceeds the {max_rows}-row budget"
+                )
+            best_g, best_c = g, cost(i, g)
+        else:
+            best_g, best_c, best_cpn = g, c, c / g
+            while g < N - i:
                 g = min(g * 2, N - i)
-            else:
-                hi = g
-        if hi is not None:
-            while hi - lo > 1:
-                mid = (lo + hi) // 2
-                if fits(i, mid):
-                    lo = mid
+                c = cost(i, g)
+                if c is None:
+                    break
+                cpn = c / g
+                if cpn < best_cpn * 0.98:
+                    best_g, best_c, best_cpn = g, c, cpn
                 else:
-                    hi = mid
-        if lo == 0:
-            raise CapacityError(
-                f"needle {uniq[i][0]!r} alone exceeds the {max_rows}-row budget"
-            )
-        groups.append([v for _, vids in uniq[i : i + lo] for v in vids])
-        group_rows.append(rows_of[i, lo])
-        i += lo
+                    break  # diminishing returns: stop growing
+            # One midpoint probe: the geometric ladder can step over the
+            # comb16 capacity knee (e.g. 96 beats both 64 and 128).
+            m = best_g + best_g // 2
+            if m <= N - i and m != best_g:
+                cm_ = cost(i, m)
+                if cm_ is not None and cm_ / m < best_cpn:
+                    best_g, best_c = m, cm_
+        groups.append([v for _, vids in uniq[i : i + best_g] for v in vids])
+        group_rows.append(best_c)
+        i += best_g
     if with_rows:
         return groups, group_rows
     return groups
