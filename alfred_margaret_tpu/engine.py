@@ -276,6 +276,29 @@ class MatchEngine:
                 _STAGING_BPS = len(buf) / (time.perf_counter() - t0)
         return _STAGING_BPS >= 1e9
 
+    def _prefilter(self):
+        """The native 5-byte-window prefilter engine when it beats the
+        interleaved DFA: large needle sets (the DFA tables blow the caches)
+        on hosts with enough cores to feed the filter, all needles >= 5
+        bytes.  AMT_PREFILTER=1 forces it on, =0 off."""
+        if not hasattr(self, "_pf"):
+            self._pf = None
+            force = os.environ.get("AMT_PREFILTER")
+            auto = (
+                force is None
+                and len(self.machine.needles) >= 2000
+                and (os.cpu_count() or 1) >= 8
+            )
+            if force == "1" or auto:
+                try:
+                    from .native.prefilter import PrefilterEngine, eligible
+
+                    if eligible(self.machine.needles):
+                        self._pf = PrefilterEngine(self.machine.needles)
+                except Exception:
+                    self._pf = None
+        return self._pf
+
     def _stream_scanner(self, n_bytes: int):
         """Out-of-core streaming scanner when the input exceeds the staged
         HBM budget (2x AMT_STREAM_CHUNK_MB), else None.  Chunked staging
@@ -402,6 +425,9 @@ class MatchEngine:
             # Scan the pre-lowered bytes case-sensitively: identical result.
             return ac.count_matches(self.machine, data, CASE_SENSITIVE)
         if backend == "cpp":
+            pf = self._prefilter()
+            if pf is not None:
+                return pf.count(data)
             return self._cpp_engine().count(data)
         if backend == "pallas":
             eng = self._pallas_engine()
@@ -434,6 +460,9 @@ class MatchEngine:
             return bool(ac.run_text(False, first, self.machine, data))
         if backend == "cpp":
             # Host early exit: stop at the first hit (Done True semantics).
+            pf = self._prefilter()
+            if pf is not None:
+                return pf.first_hit(data) >= 0
             return self._cpp_engine().first_hit(data) >= 0
         if backend == "pallas":
             from .ops.pallas_scan import CapacityError

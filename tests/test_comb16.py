@@ -138,3 +138,40 @@ def test_empty_and_tiny_inputs(eng100):
     assert eng100.count(b"") == 0
     assert eng100.contains(b"") is False
     assert eng100.count(b"c") == 1  # single-byte needle "c"
+
+
+def test_fuzz_random_needle_sets():
+    """Randomized build+count parity across needle-set shapes (sizes that
+    exercise both OB/BB splits and the count-range arenas)."""
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        n = int(rng.integers(5, 140))
+        needles = list(
+            dict.fromkeys(
+                "".join(chr(97 + c) for c in rng.integers(0, 8, size=rng.integers(1, 7)))
+                for _ in range(n)
+            )
+        )
+        m = ac.build([(x, i) for i, x in enumerate(needles)])
+        try:
+            eng = Comb16PallasAcEngine(m, n_streams=256, t_tile=32, interpret=True)
+        except CapacityError:
+            continue  # small-alphabet sets can blow the base space; fine
+        corpus = synth_corpus(needles, 40000, hit_fraction=0.05, seed=int(rng.integers(1 << 30)))
+        assert eng.count(corpus) == ac.count_matches(m, corpus), needles
+
+
+def test_prefilter_env_gate(monkeypatch):
+    from alfred_margaret_tpu.engine import MatchEngine
+
+    needles = ["abcde", "fghij", "klmno"]
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    eng = MatchEngine(m, "cpp")
+    monkeypatch.setenv("AMT_PREFILTER", "1")
+    hay = b"zz abcde zz fghij" * 400
+    from alfred_margaret_tpu.utils.case import CASE_SENSITIVE
+
+    got = eng.count(hay, CASE_SENSITIVE)
+    assert got == ac.count_matches(m, hay)
+    assert eng._prefilter() is not None
+    assert eng.contains_any(hay, CASE_SENSITIVE) is True
