@@ -8,6 +8,8 @@ Five needle/haystack scenarios crossed with implementations:
            reference's AhoCI-multineedle comparison, Automaton.hs:562-566)
   bm       Boyer-Moore single-needle count (scalar reference impl)
   bm-ci    case-insensitive Boyer-Moore
+  bm-ci-classic  the genuine backwards skip-table scan (round 2)
+  nfa      independent runtime-failure-link NFA oracle (conformance impl)
   py-count Python str.count (non-overlapping, the stdlib baseline)
   py-in    Python "in" (existence only)
 
@@ -48,6 +50,14 @@ def timed(fn, min_rounds=5):
 
 
 def main(argv=None) -> int:
+    import os
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        # The axon TPU plugin ignores the env var; honor it via the config
+        # API before any engine dispatch initializes a backend.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     for name, needle, hay in scenarios():
         hay_bytes = len(hay.encode())
         s_cs = Searcher.build(CASE_SENSITIVE, [needle])
@@ -63,6 +73,9 @@ def main(argv=None) -> int:
         )
         bm_auto = bm.build_automaton(needle)
         bmci_auto = bmci.build_automaton(needle.lower())
+        from ..models.nfa_oracle import NfaOracle
+
+        nfa = NfaOracle([needle])
 
         impls = {
             "ac": lambda: s_cs.count_matches(hay),
@@ -74,6 +87,8 @@ def main(argv=None) -> int:
             ),
             "bm": lambda: _bm_count(bm_auto, hay),
             "bm-ci": lambda: _bmci_count(bmci_auto, hay),
+            "bm-ci-classic": lambda: len(bmci.matches_classic(bmci_auto, hay)),
+            "nfa": lambda: nfa.count(hay),
             "py-count": lambda: hay.count(needle),
             "py-in": lambda: needle in hay,
         }
