@@ -289,6 +289,12 @@ class MatchEngine:
                 and len(self.machine.needles) >= 2000
                 and (os.cpu_count() or 1) >= 8
             )
+            # NEVER on a composed case-folding machine: its .needles are
+            # the original-case needles while the delta does the folding —
+            # byte-exact prefiltering would silently turn IGNORE_CASE into
+            # CaseSensitive results.
+            if getattr(self.machine, "composed_ci", False):
+                return None
             if force == "1" or auto:
                 try:
                     from .native.prefilter import PrefilterEngine, eligible
@@ -482,6 +488,11 @@ class MatchEngine:
                     return eng.contains(data)
                 except CapacityError:
                     pass
+            # Sticky-table overflow fallback: still honor the out-of-core
+            # streaming budget instead of one-shot staging the whole corpus.
+            sc = self._stream_scanner(len(data))
+            if sc is not None:
+                return sc.count(data) > 0
             return eng.count(data) > 0
         return self._xla_engine().count(data) > 0
 

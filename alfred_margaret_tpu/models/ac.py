@@ -92,6 +92,11 @@ class AcMachine:
     edge_dst: np.ndarray = field(repr=False, default=None)
     fail: np.ndarray = field(repr=False, default=None)
     cp_complete: np.ndarray = field(repr=False, default=None)
+    #: True for composed case-folding DFAs (models.case_dfa): ``needles``
+    #: are the ORIGINAL-case needles while the delta does the folding, so
+    #: any engine that matches needle BYTES directly (native prefilter)
+    #: must not be used with this machine.
+    composed_ci: bool = False
 
     @property
     def n_states(self) -> int:
@@ -123,6 +128,7 @@ class AcMachine:
             edge_dst=self.edge_dst,
             fail=self.fail,
             cp_complete=self.cp_complete,
+            composed_ci=self.composed_ci,
         )
 
 

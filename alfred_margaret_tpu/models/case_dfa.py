@@ -431,6 +431,7 @@ def compose_build(
         needles=M.needles,
         max_needle_bytes=max_raw_match_bytes([n for n, _ in pairs]) + 4,
         fail=fail,
+        composed_ci=True,
     )
 
 

@@ -78,7 +78,7 @@ class PrefilterEngine:
         self._bloom_words = words
 
         # Exact prefix map: open addressing, linear probing — slot layout
-        # must match the C++ probe ((h >> 20) & mask, +1 steps).
+        # must match the C++ probe ((h >> 40) & mask, +1 steps).
         slots = 1 << int(np.ceil(np.log2(max(4, 2 * n_keys))))
         KEY_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
         keys = np.full(slots, KEY_EMPTY, dtype=np.uint64)
@@ -131,8 +131,6 @@ class PrefilterEngine:
 
     def count(self, text: utf8.TextLike, n_threads: Optional[int] = None) -> int:
         data = np.ascontiguousarray(utf8.to_u8(text))
-        if len(data) < MIN_PREFIX:
-            nt = 1
         nt = n_threads or self.n_threads or native_build.default_threads()
         return int(self._lib.am_prefilter_count(*self._args(data), ctypes.c_int32(nt)))
 

@@ -68,3 +68,22 @@ def test_binary_needles():
     hay = b"\x00\x01\x02\x03\x04 junk \xff\xfe\xfd\xfc\xfb\xfa" * 20
     pf = _engine(needles)
     assert pf.count(hay) == ac.count_matches(m, hay)
+
+
+def test_never_on_composed_ci_machine(monkeypatch):
+    """Regression (round-2 review): a composed case-folding machine carries
+    ORIGINAL-case needles while its delta folds — byte-exact prefiltering
+    would silently turn IGNORE_CASE into CaseSensitive results."""
+    from alfred_margaret_tpu.engine import MatchEngine
+    from alfred_margaret_tpu.searcher import Searcher
+    from alfred_margaret_tpu.utils.case import IGNORE_CASE
+
+    monkeypatch.setenv("AMT_PREFILTER", "1")
+    monkeypatch.setattr(MatchEngine, "AUTO_COMPOSE_BYTES", 0)
+    s = Searcher.build(IGNORE_CASE, ["tshirt", "kelvin"], engine="cpp")
+    hay = "TSHIRT tshirt KELVIN kelvin " * 50
+    assert s.count_matches(hay) == 200
+    assert s.contains_any("TSHIRT ONLY UPPER") is True
+    # The composed inner engine must have refused the prefilter.
+    ci = s._engine._composed(IGNORE_CASE)
+    assert ci is not None and ci._prefilter() is None
