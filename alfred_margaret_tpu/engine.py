@@ -568,19 +568,12 @@ class MatchEngine:
                     # reuse the staged device streams when given.
                     st = text.device if _has_device(text) else eng.stage(data)
                     _, hit = eng.match_positions_staged(st)
-                    hit_states = np.unique(hit)
-                    present = np.zeros(len(m.values), dtype=bool)
-                    for s in hit_states:
-                        present[m.outputs(int(s))] = True
-                    return present
+                    return ac.presence_of_states(m, hit, len(m.values))
                 states = eng.final_states(data)
             else:
                 states = self._python_states(data)
             hit_states = np.unique(states[m.match_count[states] > 0])
-        present = np.zeros(len(m.values), dtype=bool)
-        for s in hit_states:
-            present[m.outputs(int(s))] = True
-        return present
+        return ac.presence_of_states(m, hit_states, len(m.values))
 
     def _python_states(self, data: np.ndarray) -> np.ndarray:
         """Scalar byte-DFA pass emitting the state after every byte."""

@@ -1,3 +1,3 @@
-from . import ac, case_dfa
+from . import ac, case_dfa, nfa_oracle
 
-__all__ = ["ac", "case_dfa"]
+__all__ = ["ac", "case_dfa", "nfa_oracle"]

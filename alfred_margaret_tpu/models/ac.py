@@ -237,6 +237,26 @@ def load_npz(path: str, with_extra: bool = False):
     return machine
 
 
+def presence_of_states(machine: AcMachine, hit_states, n_values: int) -> np.ndarray:
+    """bool [n_values] presence vector from hit state ids — one vectorized
+    CSR expansion instead of a Python loop over states x outputs."""
+    present = np.zeros(n_values, dtype=bool)
+    hs = np.unique(np.asarray(hit_states, dtype=np.int64))
+    if len(hs) == 0:
+        return present
+    counts = machine.match_count[hs].astype(np.int64)
+    hs = hs[counts > 0]
+    counts = counts[counts > 0]
+    if len(hs) == 0:
+        return present
+    base = np.repeat(machine.out_offset[hs].astype(np.int64), counts)
+    ramp = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    present[machine.out_values[base + ramp]] = True
+    return present
+
+
 def validate_machine(machine: AcMachine) -> None:
     """Structural invariants check (the debug analogue of the reference's
     bounds-checked ``at``/``uAt`` era, ``Automaton.hs:382-392``): every

@@ -332,9 +332,8 @@ class GroupedPallasAcEngine:
             return present
         for eng, vid_map in zip(self.engines, self.vid_maps):
             _, states = eng.match_positions_staged(st)
-            m = eng.machine
-            for s in np.unique(states):
-                present[vid_map[np.asarray(m.outputs(int(s)))]] = True
+            sub = ac.presence_of_states(eng.machine, states, len(eng.machine.values))
+            present[vid_map[np.flatnonzero(sub)]] = True
         return present
 
 

@@ -328,7 +328,7 @@ class XlaAcEngine:
         _, (streams_ts, warm, vend) = self._streams(data)
         hits = _scan_state_hits(
             self.dev.delta_flat,
-            jnp.zeros(self.dev.n_states),
+            jnp.zeros(self.dev.n_states, dtype=jnp.bool_),  # shape carrier only
             streams_ts,
             warm,
             vend,

@@ -638,8 +638,8 @@ class DistributedAcEngine:
         for g, sub in enumerate(self.sub_machines):
             flat = self._assemble_flat(staged, states_g[g])
             vid_map = np.asarray(self.vid_groups[g], dtype=np.int64)
-            for s in np.unique(flat[sub.match_count[flat] > 0]):
-                present[vid_map[np.asarray(sub.outputs(int(s)))]] = True
+            subp = ac.presence_of_states(sub, flat[sub.match_count[flat] > 0], len(sub.values))
+            present[vid_map[np.flatnonzero(subp)]] = True
         return present
 
     def contains_all(self, text) -> bool:
