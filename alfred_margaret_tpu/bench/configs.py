@@ -32,6 +32,14 @@ from .timing import best_of as _best
 
 
 def main(argv=None) -> int:
+    import os
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        # The axon TPU plugin ignores the env var; honor it via the config
+        # API before any engine dispatch initializes a backend.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from ..models import ac
     from ..searcher import Searcher
     from ..replacer import Replacer

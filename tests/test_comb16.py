@@ -175,3 +175,25 @@ def test_prefilter_env_gate(monkeypatch):
     assert got == ac.count_matches(m, hay)
     assert eng._prefilter() is not None
     assert eng.contains_any(hay, CASE_SENSITIVE) is True
+
+
+def test_high_count_range_encoding():
+    """Nested suffix chains give per-state match counts up to 5: the
+    base-range encoding (count = bit + range compares) must stay exact
+    through MAX_COUNT16."""
+    needles = ["a", "aa", "aaa", "aaaa", "aaaaa", "baaaaa", "c"]
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    # "baaaaa" ends baaaaa+aaaaa+aaaa+aaa+aa+a = 6 needles at one state.
+    assert int(np.asarray(m.match_count).max()) == 6
+    c16 = build_comb16(m)
+    assert len(c16.count_ranges) == 5  # thresholds for counts 2..6
+    mc = np.asarray(m.match_count)
+    got = np.minimum(mc, 1) + c16.count_of_base(c16.base)
+    assert (got == mc).all()
+    eng = Comb16PallasAcEngine(m, n_streams=128, t_tile=32, interpret=True)
+    hay = b"aaaaaa baaaaa ca aa" * 30
+    assert eng.count(hay) == ac.count_matches(m, hay)
+    ends, vids = eng.matches_arrays(hay)
+    oracle = ac.all_matches(m, hay)
+    assert len(ends) == len(oracle)
+    assert all(int(e) == o.pos and int(v) == o.value for e, v, o in zip(ends, vids, oracle))
