@@ -222,6 +222,26 @@ def decode_code_point(data: bytes, idx: int) -> Tuple[int, int]:
     return 1, b0
 
 
+def unsafe_index_code_point(data: bytes, idx: int) -> Tuple[int, int]:
+    """Reference-surface alias for :func:`decode_code_point`
+    (``unsafeIndexCodePoint`` / ``unsafeIndexCodePoint'``, ``Utf8.hs:337-342``)."""
+    return decode_code_point(data, idx)
+
+
+def decode_utf8(data: bytes) -> str:
+    """Decode a whole UTF-8 byte sequence to a string (``decodeUtf8``,
+    ``Utf8.hs:221-227``).  Malformed sequences follow
+    :func:`decode_code_point`'s single-byte pseudo-code-point rule instead
+    of erroring (the reference only ever sees valid ``Text``)."""
+    out = []
+    idx, n = 0, len(data)
+    while idx < n:
+        consumed, cp = decode_code_point(data, idx)
+        out.append(chr(cp))
+        idx += consumed
+    return "".join(out)
+
+
 def is_trail_byte(b: int) -> bool:
     """True for UTF-8 continuation bytes (``Utf8.hs:276``)."""
     return (b & 0xC0) == 0x80

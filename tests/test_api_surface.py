@@ -19,7 +19,8 @@ def test_utf8_surface():
     for name in [
         "length_utf8", "lower_str", "lower_code_point", "to_lower_ascii",
         "unlower_code_point", "print_unlowerings", "is_case_invariant",
-        "unicode2utf8", "decode_code_point", "skip_code_points_backwards",
+        "unicode2utf8", "decode_code_point", "unsafe_index_code_point",
+        "decode_utf8", "skip_code_points_backwards",
         "unsafe_cut_utf8", "unsafe_slice_utf8", "lower_transform",
         "decode_utf8_np", "raw_match_starts",
     ]:
