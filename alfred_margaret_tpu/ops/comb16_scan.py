@@ -52,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.ac import AcMachine
+from ..models.minimize import count_minimized, minimize_sticky
 from .pallas_scan import (
     MAX_ROWS,
     CapacityError,
@@ -712,7 +713,27 @@ class Comb16PallasAcEngine(PallasAcEngine):
         if n_streams % 128:
             raise ValueError("n_streams must be a multiple of 128")
         self.machine = machine
-        self.c16 = c16 if c16 is not None else build_comb16(machine, max_rows)
+        # Count/contains/bitmap kernels never export state identity, so they
+        # run on a count-minimized quotient machine (models/minimize.py) —
+        # typically 10-18% fewer states, hence fewer comb rows (= gathers)
+        # on boundary-crossing sizes and in the grouped engine.  ``c16``
+        # (when passed) is an explicit prebuilt table set for the FULL
+        # machine and is used for both paths.
+        if c16 is not None:
+            self.c16 = c16
+            self._c16_full: Optional[Comb16Machine] = c16
+        else:
+            mmin = count_minimized(machine)
+            if mmin is machine:
+                self.c16 = build_comb16(machine, max_rows)
+                self._c16_full = self.c16
+            else:
+                try:
+                    self.c16 = build_comb16(mmin, max_rows)
+                    self._c16_full = None  # built lazily for the states path
+                except CapacityError:
+                    self.c16 = build_comb16(machine, max_rows)
+                    self._c16_full = self.c16
         if unroll is None:
             rt = self.c16.rows_total
             unroll = 8 if rt <= 8 else (4 if rt <= 16 else 2)
@@ -728,21 +749,42 @@ class Comb16PallasAcEngine(PallasAcEngine):
         )
         if self.overlap < max(0, machine.max_needle_bytes - 1):
             raise ValueError("overlap override below the machine's requirement")
-        cm256 = np.zeros(256, dtype=np.int32)
-        cm256[: len(self.c16.classmap)] = self.c16.classmap
-        self._fold = bool((cm256[127:] == cm256[127]).all())
-        self._wpairs = _classmap_wpairs(cm256)
-        self._classmap_dev = jnp.asarray(cm256.reshape(2, 128))
-        self._comb_dev = jnp.asarray(self.c16.comb.reshape(self.c16.rows_c, 128))
-        self._aux_dev = jnp.asarray(self.c16.aux.reshape(self.c16.rows_a, 128))
-        self._rootseg_dev = jnp.asarray(
-            np.stack([self.c16.root_row, self.c16.segtable])
-        )
+        self._tab = self._make_tables(self.c16)
+        self._tab_full = self._tab if self._c16_full is self.c16 else None
+        (self._fold, self._wpairs, self._classmap_dev, self._comb_dev,
+         self._aux_dev, self._rootseg_dev) = self._tab
         self._count_fn = {}
         self._states_fn = {}
         self.max_rows = max_rows
         self._contains_state = None
         self._count_shift = self.c16.count_shift
+
+    @staticmethod
+    def _make_tables(c16: Comb16Machine):
+        """(fold, wpairs, classmap_dev, comb_dev, aux_dev, rootseg_dev) for
+        one table set."""
+        cm256 = np.zeros(256, dtype=np.int32)
+        cm256[: len(c16.classmap)] = c16.classmap
+        return (
+            bool((cm256[127:] == cm256[127]).all()),
+            _classmap_wpairs(cm256),
+            jnp.asarray(cm256.reshape(2, 128)),
+            jnp.asarray(c16.comb.reshape(c16.rows_c, 128)),
+            jnp.asarray(c16.aux.reshape(c16.rows_a, 128)),
+            jnp.asarray(np.stack([c16.root_row, c16.segtable])),
+        )
+
+    def _full_set(self):
+        """(c16, tables) for the FULL machine — the states/extraction path,
+        where packed entries map back to real state ids via ``inv_base``."""
+        if self._c16_full is None:
+            self._c16_full = build_comb16(self.machine, self.max_rows)
+        if self._tab_full is None:
+            self._tab_full = (
+                self._tab if self._c16_full is self.c16
+                else self._make_tables(self._c16_full)
+            )
+        return self._c16_full, self._tab_full
 
     def _consts(self, cm: Comb16Machine) -> dict:
         return dict(
@@ -818,7 +860,7 @@ class Comb16PallasAcEngine(PallasAcEngine):
 
     def _sticky_setup(self) -> dict:
         if self._contains_state is None:
-            sv = _StickyView(self.machine)
+            sv = minimize_sticky(_StickyView(self.machine))
             c16 = build_comb16(sv, self.max_rows)
             cm256 = np.zeros(256, dtype=np.int32)
             cm256[: len(c16.classmap)] = c16.classmap
@@ -894,12 +936,14 @@ class Comb16PallasAcEngine(PallasAcEngine):
     def _get_states_fn(self, T: int):
         key = T
         if key not in self._states_fn:
+            c16f, tab = self._full_set()
+            fold, wpairs = tab[0], tab[1]
             t_tile = self._states_t_tile()
             n_tiles = T // t_tile
             unroll = _fit_unroll(self.unroll, t_tile)
-            C = self._consts(self.c16)
+            C = self._consts(c16f)
             kernel = _make_c16_states_kernel(
-                t_tile, self.R, C, unroll, fold=self._fold, wpairs=self._wpairs
+                t_tile, self.R, C, unroll, fold=fold, wpairs=wpairs
             )
             R, S = self.R, self.S
             rows_c, rows_a = C["rows_c"], C["rows_a"]
@@ -930,11 +974,12 @@ class Comb16PallasAcEngine(PallasAcEngine):
 
     def _states_call(self, st):
         fn = self._get_states_fn(st.plan.time_len)
-        return fn(self._classmap_dev, self._comb_dev, self._aux_dev,
-                  self._rootseg_dev, st.streams_dev)
+        _, (_, _, cm_dev, comb_dev, aux_dev, rootseg_dev) = self._full_set()
+        return fn(cm_dev, comb_dev, aux_dev, rootseg_dev, st.streams_dev)
 
     def _pk_states(self, pk_np: np.ndarray) -> np.ndarray:
-        return self.c16.inv_base[pk_np & self.c16.base_mask]
+        c16f, _ = self._full_set()
+        return c16f.inv_base[pk_np & c16f.base_mask]
 
 
 __all__ = [

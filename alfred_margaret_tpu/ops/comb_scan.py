@@ -583,7 +583,26 @@ class CombPallasAcEngine(PallasAcEngine):
         if n_streams % 128:
             raise ValueError("n_streams must be a multiple of 128")
         self.machine = machine
-        self.comb = comb if comb is not None else build_comb(machine, max_rows)
+        # Count/contains kernels run on a count-minimized quotient machine
+        # (see models/minimize.py and comb16_scan's identical split); the
+        # states/extraction path lazily builds tables for the FULL machine.
+        if comb is not None:
+            self.comb = comb
+            self._comb_full: Optional[CombMachine] = comb
+        else:
+            from ..models.minimize import count_minimized
+
+            mmin = count_minimized(machine)
+            if mmin is machine:
+                self.comb = build_comb(machine, max_rows)
+                self._comb_full = self.comb
+            else:
+                try:
+                    self.comb = build_comb(mmin, max_rows)
+                    self._comb_full = None
+                except CapacityError:
+                    self.comb = build_comb(machine, max_rows)
+                    self._comb_full = self.comb
         if unroll is None:
             rt = self.comb.rows_total
             unroll = 8 if rt <= 8 else (4 if rt <= 16 else 2)
@@ -686,7 +705,9 @@ class CombPallasAcEngine(PallasAcEngine):
 
     def _sticky_setup(self) -> dict:
         if self._contains_state is None:
-            sv = _StickyView(self.machine)
+            from ..models.minimize import minimize_sticky
+
+            sv = minimize_sticky(_StickyView(self.machine))
             comb = build_comb(sv, self.max_rows)
             cm256 = np.zeros(256, dtype=np.int32)
             cm256[: len(comb.classmap)] = comb.classmap
@@ -759,15 +780,40 @@ class CombPallasAcEngine(PallasAcEngine):
 
     # -- per-position states -------------------------------------------------
 
+    def _full_set(self):
+        """(comb, fold, wpairs, cm_dev, comb_dev, def_dev) for the FULL
+        machine — the states/extraction path needs real state ids."""
+        if self._comb_full is None:
+            self._comb_full = build_comb(self.machine, self.max_rows)
+        if getattr(self, "_full_devs", None) is None:
+            cf = self._comb_full
+            if cf is self.comb:
+                self._full_devs = (
+                    self._fold, self._wpairs, self._classmap_dev,
+                    self._comb_dev, self._def_dev,
+                )
+            else:
+                cm256 = np.zeros(256, dtype=np.int32)
+                cm256[: len(cf.classmap)] = cf.classmap
+                self._full_devs = (
+                    bool((cm256[127:] == cm256[127]).all()),
+                    _classmap_wpairs(cm256),
+                    jnp.asarray(cm256.reshape(2, 128)),
+                    jnp.asarray(cf.comb.reshape(cf.rows_c, 128)),
+                    jnp.asarray(cf.def_table.reshape(cf.rows_d, 128)),
+                )
+        return self._comb_full, self._full_devs
+
     def _get_states_fn(self, T: int):
         key = T
         if key not in self._states_fn:
+            combf, (fold, wpairs, _, _, _) = self._full_set()
             t_tile = self._states_t_tile()
             n_tiles = T // t_tile
             unroll = _fit_unroll(self.unroll, t_tile)
-            C = self._consts(self.comb)
+            C = self._consts(combf)
             kernel = _make_comb_states_kernel(
-                t_tile, self.R, C, unroll, fold=self._fold, wpairs=self._wpairs
+                t_tile, self.R, C, unroll, fold=fold, wpairs=wpairs
             )
             R, S = self.R, self.S
             rows_c, rows_d = C["rows_c"], C["rows_d"]
@@ -800,10 +846,12 @@ class CombPallasAcEngine(PallasAcEngine):
 
     def _states_call(self, st):
         fn = self._get_states_fn(st.plan.time_len)
-        return fn(self._classmap_dev, self._comb_dev, self._def_dev, st.streams_dev)
+        _, (_, _, cm_dev, comb_dev, def_dev) = self._full_set()
+        return fn(cm_dev, comb_dev, def_dev, st.streams_dev)
 
     def _pk_states(self, pk_np: np.ndarray) -> np.ndarray:
-        return self.comb.inv_base[pk_np & BASE_MASK]
+        combf, _ = self._full_set()
+        return combf.inv_base[pk_np & BASE_MASK]
 
 
 def plan_pallas(machine, max_rows: int = MAX_ROWS):
@@ -815,8 +863,17 @@ def plan_pallas(machine, max_rows: int = MAX_ROWS):
     nothing fits ``max_rows`` physical rows (callers go to the needle-grouped
     multi-pass engine).  Dense wins ties (its per-row select is a hair
     cheaper than the comb owner check).
+
+    Each representation is costed on the machine its engine actually scans
+    with: the comb engines run their hot count path on the count-minimized
+    quotient (``models/minimize.py``), the dense engine on the full machine
+    — so the estimates here (used by the grouped partitioner and the
+    host-vs-device dispatcher) stay truthful.
     """
+    from ..models.minimize import count_minimized
     from .pallas_scan import CompressedMachine
+
+    mmin = count_minimized(machine)
 
     options = []
     try:
@@ -824,11 +881,11 @@ def plan_pallas(machine, max_rows: int = MAX_ROWS):
     except CapacityError:
         pass
     if (
-        machine.delta.shape[0] < (1 << BASE_BITS) - 64
-        and int(np.asarray(machine.match_count).max(initial=0)) <= MAX_COUNT
+        mmin.delta.shape[0] < (1 << BASE_BITS) - 64
+        and int(np.asarray(mmin.match_count).max(initial=0)) <= MAX_COUNT
     ):
         try:
-            rt, _, _ = comb_structure_cost(machine, max_rows=max_rows)
+            rt, _, _ = comb_structure_cost(mmin, max_rows=max_rows)
             if rt <= max_rows:
                 options.append(("comb", rt))
         except CapacityError:
@@ -836,7 +893,7 @@ def plan_pallas(machine, max_rows: int = MAX_ROWS):
     try:
         from .comb16_scan import comb16_structure_cost
 
-        g16, _ = comb16_structure_cost(machine)
+        g16, _ = comb16_structure_cost(mmin)
         if g16 <= max_rows:
             options.append(("comb16", g16))
     except CapacityError:
