@@ -76,6 +76,29 @@ def main():
     assert e3.count_staged(st3) == exp3
     print(f"dense 3-needle: {slope(lambda r: e3.count_staged(st3, r), len(d3)):.1f} GB/s", flush=True)
 
+    # Sticky contains on the config-2 machine (count-minimized sticky view).
+    eng16.contains_staged(st)
+    gbs_c = slope(lambda r: eng16.contains_staged(st, r), len(data))
+    print(f"comb16 contains: {gbs_c:.1f} GB/s", flush=True)
+
+    # Grouped 1000-needle count: count-minimized adaptive plan (47 summed
+    # gathers vs 58 unminimized -> expect ~3.5 GB/s staged vs ~2.8).
+    from alfred_margaret_tpu.ops.grouped import GroupedPallasAcEngine
+
+    ns1k = list(dict.fromkeys(
+        "".join(chr(97 + c) for c in rng.integers(0, 26, size=rng.integers(4, 9)))
+        for _ in range(1060)))[:1000]
+    m1k = ac.build([(n, i) for i, n in enumerate(ns1k)])
+    c1k = synth_corpus(ns1k, 64 * MB, hit_fraction=0.01, seed=9)
+    d1k = np.frombuffer(c1k, dtype=np.uint8)
+    exp1k = cpp_engine.CppAcEngine(m1k).count(d1k)
+    g1k = GroupedPallasAcEngine(m1k)
+    print(f"grouped 1k: groups={g1k.n_groups} rows={g1k.total_rows}", flush=True)
+    st1k = g1k._stage(d1k)
+    assert g1k.count_staged(st1k) == exp1k, "grouped 1k count mismatch"
+    gbs1k = slope(lambda r: g1k.count_staged(st1k, r), len(d1k), r2=10)
+    print(f"grouped 1k count: {gbs1k:.2f} GB/s", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -225,15 +225,17 @@ class TestGroupedEngine:
         assert by_vid[0] == by_vid[2] == by_vid[4]
 
     def test_count_and_match_parity(self):
+        # 20 needles / max_rows=2 still forces 3+ groups; 40 needles took
+        # 220 s of interpret-mode kernel builds for the same coverage.
         rng = np.random.default_rng(2)
         needles = [
-            bytes(rng.integers(97, 103, size=rng.integers(2, 5))) for _ in range(40)
+            bytes(rng.integers(97, 103, size=rng.integers(2, 5))) for _ in range(20)
         ]
         pairs = [(n, i) for i, n in enumerate(needles)]
         m = ac.build(pairs)
         eng = self._grouped(m, max_rows=2)
-        assert eng.n_groups > 1
-        hay = bytes(rng.integers(97, 103, size=4000))
+        assert eng.n_groups > 2
+        hay = bytes(rng.integers(97, 103, size=2500))
         oracle = ac.all_matches(m, hay)
         assert eng.count(hay) == len(oracle)
         ends, vids = eng.matches_arrays(hay)
