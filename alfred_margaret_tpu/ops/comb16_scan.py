@@ -723,17 +723,19 @@ class Comb16PallasAcEngine(PallasAcEngine):
             self.c16 = c16
             self._c16_full: Optional[Comb16Machine] = c16
         else:
+            # Both table sets build eagerly: a machine whose quotient fits but
+            # whose full table does not must fail HERE, where the engine
+            # ladder (make_pallas_engine) and the grouped split-and-retry can
+            # still fall back — not at the first states-path query.
+            self._c16_full = build_comb16(machine, max_rows)
             mmin = count_minimized(machine)
             if mmin is machine:
-                self.c16 = build_comb16(machine, max_rows)
-                self._c16_full = self.c16
+                self.c16 = self._c16_full
             else:
                 try:
                     self.c16 = build_comb16(mmin, max_rows)
-                    self._c16_full = None  # built lazily for the states path
                 except CapacityError:
-                    self.c16 = build_comb16(machine, max_rows)
-                    self._c16_full = self.c16
+                    self.c16 = self._c16_full
         if unroll is None:
             rt = self.c16.rows_total
             unroll = 8 if rt <= 8 else (4 if rt <= 16 else 2)
@@ -776,9 +778,9 @@ class Comb16PallasAcEngine(PallasAcEngine):
 
     def _full_set(self):
         """(c16, tables) for the FULL machine — the states/extraction path,
-        where packed entries map back to real state ids via ``inv_base``."""
-        if self._c16_full is None:
-            self._c16_full = build_comb16(self.machine, self.max_rows)
+        where packed entries map back to real state ids via ``inv_base``.
+        Tables (device uploads) are prepared lazily; the placement itself is
+        validated eagerly in ``__init__``."""
         if self._tab_full is None:
             self._tab_full = (
                 self._tab if self._c16_full is self.c16
@@ -860,7 +862,10 @@ class Comb16PallasAcEngine(PallasAcEngine):
 
     def _sticky_setup(self) -> dict:
         if self._contains_state is None:
-            sv = minimize_sticky(_StickyView(self.machine))
+            # Sticky redirection depends only on match_count > 0, which the
+            # count quotient preserves — start from the memoized minimized
+            # machine and quotient the much smaller view.
+            sv = minimize_sticky(_StickyView(count_minimized(self.machine)))
             c16 = build_comb16(sv, self.max_rows)
             cm256 = np.zeros(256, dtype=np.int32)
             cm256[: len(c16.classmap)] = c16.classmap

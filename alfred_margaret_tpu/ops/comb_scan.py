@@ -592,17 +592,19 @@ class CombPallasAcEngine(PallasAcEngine):
         else:
             from ..models.minimize import count_minimized
 
+            # Both table sets build eagerly so a full-machine capacity
+            # overflow fails at construction (where the engine ladder and
+            # the grouped split-and-retry can fall back), never at the
+            # first states-path query.
+            self._comb_full = build_comb(machine, max_rows)
             mmin = count_minimized(machine)
             if mmin is machine:
-                self.comb = build_comb(machine, max_rows)
-                self._comb_full = self.comb
+                self.comb = self._comb_full
             else:
                 try:
                     self.comb = build_comb(mmin, max_rows)
-                    self._comb_full = None
                 except CapacityError:
-                    self.comb = build_comb(machine, max_rows)
-                    self._comb_full = self.comb
+                    self.comb = self._comb_full
         if unroll is None:
             rt = self.comb.rows_total
             unroll = 8 if rt <= 8 else (4 if rt <= 16 else 2)
@@ -618,18 +620,28 @@ class CombPallasAcEngine(PallasAcEngine):
         )
         if self.overlap < max(0, machine.max_needle_bytes - 1):
             raise ValueError("overlap override below the machine's requirement")
-        cm256 = np.zeros(256, dtype=np.int32)
-        cm256[: len(self.comb.classmap)] = self.comb.classmap
-        self._fold = bool((cm256[127:] == cm256[127]).all())
-        self._wpairs = _classmap_wpairs(cm256)
-        self._classmap_dev = jnp.asarray(cm256.reshape(2, 128))
-        self._comb_dev = jnp.asarray(self.comb.comb.reshape(self.comb.rows_c, 128))
-        self._def_dev = jnp.asarray(self.comb.def_table.reshape(self.comb.rows_d, 128))
+        (self._fold, self._wpairs, self._classmap_dev, self._comb_dev,
+         self._def_dev) = self._make_tables(self.comb)
+        self._full_devs = None  # lazy device upload for the states path
         self._count_fn = {}
         self._states_fn = {}
         self.max_rows = max_rows
         self._contains_state = None
         self._count_shift = COUNT_SHIFT
+
+    @staticmethod
+    def _make_tables(comb: CombMachine):
+        """(fold, wpairs, classmap_dev, comb_dev, def_dev) for one table
+        set (count/states/sticky share this recipe)."""
+        cm256 = np.zeros(256, dtype=np.int32)
+        cm256[: len(comb.classmap)] = comb.classmap
+        return (
+            bool((cm256[127:] == cm256[127]).all()),
+            _classmap_wpairs(cm256),
+            jnp.asarray(cm256.reshape(2, 128)),
+            jnp.asarray(comb.comb.reshape(comb.rows_c, 128)),
+            jnp.asarray(comb.def_table.reshape(comb.rows_d, 128)),
+        )
 
     def _consts(self, cm: CombMachine) -> dict:
         return dict(
@@ -705,20 +717,22 @@ class CombPallasAcEngine(PallasAcEngine):
 
     def _sticky_setup(self) -> dict:
         if self._contains_state is None:
-            from ..models.minimize import minimize_sticky
+            from ..models.minimize import count_minimized, minimize_sticky
 
-            sv = minimize_sticky(_StickyView(self.machine))
+            # Sticky redirection depends only on match_count > 0, which the
+            # count quotient preserves — so start from the (memoized)
+            # minimized machine and quotient the much smaller view.
+            sv = minimize_sticky(_StickyView(count_minimized(self.machine)))
             comb = build_comb(sv, self.max_rows)
-            cm256 = np.zeros(256, dtype=np.int32)
-            cm256[: len(comb.classmap)] = comb.classmap
+            fold, wpairs, cm_dev, comb_dev, def_dev = self._make_tables(comb)
             self._contains_state = dict(
                 comb=comb,
-                fold=bool((cm256[127:] == cm256[127]).all()),
-                wpairs=_classmap_wpairs(cm256),
+                fold=fold,
+                wpairs=wpairs,
                 absorb_base=int(comb.base[sv.absorb]),
-                cm=jnp.asarray(cm256.reshape(2, 128)),
-                comb_dev=jnp.asarray(comb.comb.reshape(comb.rows_c, 128)),
-                def_dev=jnp.asarray(comb.def_table.reshape(comb.rows_d, 128)),
+                cm=cm_dev,
+                comb_dev=comb_dev,
+                def_dev=def_dev,
                 fns={},
             )
         return self._contains_state
@@ -781,27 +795,17 @@ class CombPallasAcEngine(PallasAcEngine):
     # -- per-position states -------------------------------------------------
 
     def _full_set(self):
-        """(comb, fold, wpairs, cm_dev, comb_dev, def_dev) for the FULL
-        machine — the states/extraction path needs real state ids."""
-        if self._comb_full is None:
-            self._comb_full = build_comb(self.machine, self.max_rows)
-        if getattr(self, "_full_devs", None) is None:
+        """(comb, tables) for the FULL machine — the states/extraction path
+        needs real state ids.  Device upload is lazy; the placement itself
+        was validated eagerly in ``__init__``."""
+        if self._full_devs is None:
             cf = self._comb_full
-            if cf is self.comb:
-                self._full_devs = (
-                    self._fold, self._wpairs, self._classmap_dev,
-                    self._comb_dev, self._def_dev,
-                )
-            else:
-                cm256 = np.zeros(256, dtype=np.int32)
-                cm256[: len(cf.classmap)] = cf.classmap
-                self._full_devs = (
-                    bool((cm256[127:] == cm256[127]).all()),
-                    _classmap_wpairs(cm256),
-                    jnp.asarray(cm256.reshape(2, 128)),
-                    jnp.asarray(cf.comb.reshape(cf.rows_c, 128)),
-                    jnp.asarray(cf.def_table.reshape(cf.rows_d, 128)),
-                )
+            self._full_devs = (
+                (self._fold, self._wpairs, self._classmap_dev,
+                 self._comb_dev, self._def_dev)
+                if cf is self.comb
+                else self._make_tables(cf)
+            )
         return self._comb_full, self._full_devs
 
     def _get_states_fn(self, T: int):
@@ -873,13 +877,18 @@ def plan_pallas(machine, max_rows: int = MAX_ROWS):
     from ..models.minimize import count_minimized
     from .pallas_scan import CompressedMachine
 
-    mmin = count_minimized(machine)
-
     options = []
     try:
         options.append(("dense", CompressedMachine.from_machine(machine, max_rows).rows))
     except CapacityError:
         pass
+    if options and options[0][1] <= 2:
+        # No comb representation can beat a <=2-row dense table (comb32
+        # needs >= 2 gathers, comb16 >= 4), so skip the quotient refinement
+        # entirely — it is a per-state Python loop the adaptive partitioner
+        # would otherwise pay on every small trial group.
+        return options[0]
+    mmin = count_minimized(machine)
     if (
         mmin.delta.shape[0] < (1 << BASE_BITS) - 64
         and int(np.asarray(mmin.match_count).max(initial=0)) <= MAX_COUNT

@@ -487,6 +487,13 @@ class DistributedAcEngine:
             fn(*table_args, staged.streams_d, staged.warm_d, staged.vend_d)
         )) > 0
 
+    def contains_staged(self, staged: Optional["StagedMeshCorpus"]) -> bool:
+        """Staged-handle alias of :meth:`contains_any` — gives the mesh
+        engine the same duck surface as the single-chip Pallas engines, so
+        :class:`ops.streaming.StreamingScanner` composes directly (out-of-
+        core corpora feeding the whole mesh, chunk by chunk)."""
+        return self.contains_any(staged)
+
     # -- positions ---------------------------------------------------------
 
     def _states_per_group(self, staged: "StagedMeshCorpus") -> np.ndarray:
@@ -623,6 +630,11 @@ class DistributedAcEngine:
         )
         order = np.lexsort((-lens, ends))  # end asc, longer needle first
         return ends[order].astype(np.int64), vids[order].astype(np.int32)
+
+    def matches_arrays_staged(self, staged: Optional["StagedMeshCorpus"]):
+        """Staged-handle alias of :meth:`matches_arrays` (same duck surface
+        as the single-chip engines for :class:`StreamingScanner`)."""
+        return self.matches_arrays(staged)
 
     def value_presence(self, text, n_values: Optional[int] = None) -> np.ndarray:
         """bool [n_values] — which values matched anywhere on the mesh (the

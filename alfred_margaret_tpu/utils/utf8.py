@@ -237,6 +237,8 @@ def decode_utf8(data: bytes) -> str:
     idx, n = 0, len(data)
     while idx < n:
         consumed, cp = decode_code_point(data, idx)
+        if cp > 0x10FFFF:  # 0xF5-0xF8 leads can decode past the scalar range
+            consumed, cp = 1, data[idx]
         out.append(chr(cp))
         idx += consumed
     return "".join(out)

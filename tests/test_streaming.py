@@ -82,3 +82,37 @@ def test_streaming_memmap(tmp_path, setup):
     mm = np.memmap(str(path), dtype=np.uint8, mode="r")
     sc = StreamingScanner(eng, m, chunk_bytes=128 << 10)
     assert sc.count(mm) == ac.count_matches(m, corpus)
+
+
+def test_streaming_over_mesh(tmp_path):
+    """Out-of-core corpus feeding the WHOLE 8-virtual-device mesh: the
+    StreamingScanner composes with DistributedAcEngine (stage /
+    count_staged / contains_staged / matches_arrays_staged), so a 10 GB
+    memmap streams through chunk-by-chunk with every chunk scanned by the
+    full mesh and results bit-identical to single-chip."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from alfred_margaret_tpu.parallel import DistributedAcEngine, make_mesh
+
+    needles = ["tshirt", "shirts", "shorts", "ort", "t"]
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    corpus = synth_corpus(needles, 3 << 17, hit_fraction=0.01, seed=11)
+    path = tmp_path / "corpus.bin"
+    path.write_bytes(corpus)
+    mm = np.memmap(str(path), dtype=np.uint8, mode="r")
+
+    mesh = make_mesh(jax.devices()[:8], data=4, seq=2)
+    dist = DistributedAcEngine(m, mesh)
+    sc = StreamingScanner(dist, m, chunk_bytes=1 << 17)  # 3 chunks
+    assert sc.count(mm) == ac.count_matches(m, corpus)
+    assert sc.contains(mm) is True
+    assert sc.contains(np.frombuffer(b"z" * 100000, dtype=np.uint8)) is False
+    ends, vids = sc.matches_arrays(mm)
+    oracle = ac.all_matches(m, corpus)
+    assert len(ends) == len(oracle)
+    assert all(
+        int(e) == o.pos and int(v) == o.value
+        for e, v, o in zip(ends[:2000], vids[:2000], oracle[:2000])
+    )

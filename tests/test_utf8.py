@@ -79,6 +79,14 @@ class TestEncoding:
         assert enc.tobytes() == s.encode()
         assert np.array_equal(out_lens, lens)
 
+    def test_decode_utf8_surface(self):
+        assert utf8.decode_utf8("héllo 𐍈💩".encode()) == "héllo 𐍈💩"
+        # malformed input never raises: stray trail/lead bytes pass through
+        # as single-byte pseudo code points (decode_code_point's rule) —
+        # including 0xF5-0xF8 leads whose 4-byte decode exceeds U+10FFFF
+        assert utf8.decode_utf8(b"\xff\x80ab") == "\xff\x80ab"
+        assert utf8.decode_utf8(b"\xf7\xbf\xbf\xbfz") == "\xf7\xbf\xbf\xbfz"
+
     @given(st.text(alphabet=FANCY_ALPHABET, max_size=100))
     def test_decode_positions(self, s):
         arr = utf8.to_u8(s)
