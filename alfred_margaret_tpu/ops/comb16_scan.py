@@ -326,15 +326,29 @@ def _empty_residues(entries_len: int, k: int, OB: int, bases: np.ndarray):
     return out
 
 
-def build_comb16(machine, max_rows_total: int = MAX_ROWS) -> Comb16Machine:
+def build_comb16(
+    machine, max_rows_total: int = MAX_ROWS, split: Optional[tuple] = None
+) -> Comb16Machine:
     """Build a :class:`Comb16Machine`; raises :class:`CapacityError` when the
-    machine cannot fit (callers fall back to comb32 / dense / grouped)."""
+    machine cannot fit (callers fall back to comb32 / dense / grouped).
+
+    ``split`` forces one ``(CB, OB, BB)`` field split instead of the ladder —
+    the distributed engine uses this to build UNIFORM table sets across
+    needle groups so one kernel serves every shard."""
     comp, classmap = _choose_classes(machine.delta)
     S, k = comp.shape
     if k > 96:
         raise CapacityError(f"k={k} too wide for comb16 probe windows")
     mc = np.asarray(machine.match_count, dtype=np.int64)
-    splits = _field_split(int(mc.max(initial=0)), S)
+    if split is not None:
+        CB, OB, BB = split
+        if CB + OB + BB != 16 or S + 8 > (1 << BB):
+            raise CapacityError(f"forced split {split} cannot hold {S} states")
+        if int(mc.max(initial=0)) > MAX_COUNT16:
+            raise CapacityError("match count exceeds comb16 range encoding")
+        splits = [split]
+    else:
+        splits = _field_split(int(mc.max(initial=0)), S)
 
     _, D = comb16_structure_cost(machine)
     centers = _center_candidates(machine, S, D)
@@ -380,7 +394,9 @@ def _build_with_fields(
     bases_o, high, seg_owner, _bnds = _place(space, k, OB, seg_size, owners, max_pos)
     base = np.empty(S, dtype=np.int32)
     base[order] = bases_o
-    rows_c = max(1, -(-high // 256))
+    # Rows must cover every probe window (base + k), not just owned slots —
+    # the top base's probes can extend past the occupancy high-water.
+    rows_c = max(1, -(-max(high, int(base.max(initial=0)) + k) // 256))
     if rows_c + 3 > max_rows_total:
         raise CapacityError(f"comb16 needs {rows_c}+ rows > budget")
     m_pad = rows_c * 256
@@ -410,6 +426,12 @@ def _build_with_fields(
     cbase[aorder] = cb_o
     rows_a = max(1, -(-ahigh // 256))
     a_pad = rows_a * 256
+    if int(cbase.max(initial=0)) + k > a_pad:
+        # A probe window (cbase + k) may extend past the padded rows — the
+        # kernel would read garbage beyond the array (and the build
+        # verification below would IndexError instead of falling back).
+        rows_a = -(-(int(cbase.max(initial=0)) + k) // 256)
+        a_pad = rows_a * 256
 
     mach = Comb16Machine(
         classmap=classmap,
@@ -597,6 +619,128 @@ def _make_c16_count_kernel(T_TILE, R, C, n_tiles, unroll, reps, fold=False, wpai
         @pl.when(tile == n_grid - 1)
         def _fin():
             out_ref[:] = count_scr[:]
+
+    return kernel
+
+
+def _make_c16_count_kernel_dyn(T_TILE, R, C, n_tiles, unroll, n_ranges):
+    """Count kernel with PER-GROUP scalars read from SMEM: ``gscal_ref`` =
+    int32 ``[1 + n_ranges]`` holding (root_cb, count-range thresholds padded
+    with 2^BB sentinels).  Field split (CB/OB/BB) and row counts are static
+    and UNIFORM across groups (``build_comb16(split=...)``), so one compiled
+    kernel serves every needle shard of the distributed engine under
+    ``shard_map``.  No fold/wpairs (classmaps differ per group); reps=1."""
+    bmask = (1 << C["BB"]) - 1
+    cshift = C["count_shift"]
+
+    def kernel(
+        bscal_ref, gscal_ref, classmap_ref, comb_ref, aux_ref, rootseg_ref,
+        warm_ref, vend_ref, streams_ref, out_ref, cb_scr, count_scr,
+    ):
+        tile = pl.program_id(0)
+
+        @pl.when(tile == 0)
+        def _init():
+            cb_scr[:] = jnp.full((R, 128), gscal_ref[0], jnp.int32)
+            count_scr[:] = jnp.zeros((R, 128), jnp.int32)
+
+        cls_rows = _broadcast_rows(classmap_ref[:], 2, R)
+        comb_b = _broadcast_rows(comb_ref[:], C["rows_c"], R)
+        aux_b = _broadcast_rows(aux_ref[:], C["rows_a"], R)
+        root_b = jax.lax.broadcast_in_dim(rootseg_ref[0], (R, 128), (1,))
+        seg_b = jax.lax.broadcast_in_dim(rootseg_ref[1], (R, 128), (1,))
+        warm = warm_ref[:]
+        vend = vend_ref[:]
+        t0 = tile * T_TILE
+
+        def make_body(masked):
+            def body(u, carry):
+                cb, counts = carry
+                for j in range(unroll):
+                    t = u * unroll + j
+                    cls = _class_of(streams_ref[t].astype(jnp.int32), cls_rows, False, None)
+                    e = _lookup16(comb_b, aux_b, root_b, seg_b, cb, cls, C)
+                    cb = e & bmask
+                    if C["CB"]:
+                        cnt = (e >> cshift) & 1
+                        for ri in range(n_ranges):  # sentinel 2^BB => never
+                            cnt = cnt + jnp.where(cb >= gscal_ref[1 + ri], 1, 0)
+                    else:
+                        cnt = jnp.zeros((R, 128), jnp.int32)
+                    if masked:
+                        tg = t0 + t
+                        cnt = jnp.where((tg >= warm) & (tg < vend), cnt, 0)
+                    counts = counts + cnt
+                return cb, counts
+
+            return body
+
+        is_boundary = (t0 < bscal_ref[0]) | (t0 + T_TILE > bscal_ref[1])
+        cb, counts = jax.lax.cond(
+            is_boundary,
+            lambda c: jax.lax.fori_loop(0, T_TILE // unroll, make_body(True), c),
+            lambda c: jax.lax.fori_loop(0, T_TILE // unroll, make_body(False), c),
+            (cb_scr[:], count_scr[:]),
+        )
+        cb_scr[:] = cb
+        count_scr[:] = counts
+
+        @pl.when(tile == n_tiles - 1)
+        def _fin():
+            out_ref[:] = count_scr[:]
+
+    return kernel
+
+
+def _make_c16_contains_kernel_dyn(T_TILE, R, C, n_tiles, unroll):
+    """Sticky existence kernel with the PER-GROUP root base in SMEM
+    (``gscal_ref[0]``; the absorb base is compared host-side of the
+    pallas_call) — the distributed analogue of ``_make_c16_contains_kernel``
+    with a uniform field split across needle groups."""
+    bmask = (1 << C["BB"]) - 1
+
+    def kernel(
+        bscal_ref, gscal_ref, classmap_ref, comb_ref, aux_ref, rootseg_ref,
+        vend_ref, streams_ref, out_ref, cb_scr,
+    ):
+        tile = pl.program_id(0)
+
+        @pl.when(tile == 0)
+        def _init():
+            cb_scr[:] = jnp.full((R, 128), gscal_ref[0], jnp.int32)
+
+        cls_rows = _broadcast_rows(classmap_ref[:], 2, R)
+        comb_b = _broadcast_rows(comb_ref[:], C["rows_c"], R)
+        aux_b = _broadcast_rows(aux_ref[:], C["rows_a"], R)
+        root_b = jax.lax.broadcast_in_dim(rootseg_ref[0], (R, 128), (1,))
+        seg_b = jax.lax.broadcast_in_dim(rootseg_ref[1], (R, 128), (1,))
+        vend = vend_ref[:]
+        t0 = tile * T_TILE
+
+        def make_body(masked):
+            def body(u, cb):
+                for j in range(unroll):
+                    t = u * unroll + j
+                    cls = _class_of(streams_ref[t].astype(jnp.int32), cls_rows, False, None)
+                    e = _lookup16(comb_b, aux_b, root_b, seg_b, cb, cls, C)
+                    nb = e & bmask
+                    cb = jnp.where(t0 + t < vend, nb, cb) if masked else nb
+                return cb
+
+            return body
+
+        is_boundary = t0 + T_TILE > bscal_ref[1]
+        cb = jax.lax.cond(
+            is_boundary,
+            lambda c: jax.lax.fori_loop(0, T_TILE // unroll, make_body(True), c),
+            lambda c: jax.lax.fori_loop(0, T_TILE // unroll, make_body(False), c),
+            cb_scr[:],
+        )
+        cb_scr[:] = cb
+
+        @pl.when(tile == n_tiles - 1)
+        def _fin():
+            out_ref[:] = cb_scr[:]
 
     return kernel
 
@@ -987,10 +1131,66 @@ class Comb16PallasAcEngine(PallasAcEngine):
         return c16f.inv_base[pk_np & c16f.base_mask]
 
 
+def build_comb16_uniform(machines, max_rows_total: int = MAX_ROWS):
+    """Comb16 table sets for a list of (needle-group) machines with a
+    UNIFORM field split and row counts, stacked for the distributed engine:
+
+    Returns ``(c16s, stacked)`` where ``stacked`` is a dict of numpy arrays
+    ``classmap [G,2,128]``, ``comb [G,rows_c,128]``, ``aux [G,rows_a,128]``,
+    ``rootseg [G,2,128]``, ``gscal [G,1+n_ranges]`` (root_cb + count-range
+    thresholds, padded with the 2^BB sentinel), plus the static consts.
+    Zero row padding is safe: every group's probes stay inside its own
+    padded rows (placement bounds ``base + k`` by its row count).
+
+    Raises :class:`CapacityError` when no single split fits every group.
+    """
+    CB = 1 if any(int(np.asarray(m.match_count).max(initial=0)) > 0 for m in machines) else 0
+    last = None
+    for OB in (5, 4):
+        BB = 16 - CB - OB
+        try:
+            c16s = [build_comb16(m, max_rows_total, split=(CB, OB, BB)) for m in machines]
+            break
+        except CapacityError as e:
+            last = e
+    else:
+        raise last
+    G = len(c16s)
+    rows_c = max(c.rows_c for c in c16s)
+    rows_a = max(c.rows_a for c in c16s)
+    n_ranges = max(len(c.count_ranges) for c in c16s)
+    sentinel = 1 << BB
+    classmap = np.zeros((G, 2, 128), dtype=np.int32)
+    comb = np.zeros((G, rows_c, 128), dtype=np.int32)
+    aux = np.zeros((G, rows_a, 128), dtype=np.int32)
+    rootseg = np.zeros((G, 2, 128), dtype=np.int32)
+    gscal = np.full((G, 1 + max(1, n_ranges)), sentinel, dtype=np.int32)
+    for g, c in enumerate(c16s):
+        cm256 = np.zeros(256, dtype=np.int32)
+        cm256[: len(c.classmap)] = c.classmap
+        classmap[g] = cm256.reshape(2, 128)
+        comb[g, : c.rows_c] = c.comb.reshape(c.rows_c, 128)
+        aux[g, : c.rows_a] = c.aux.reshape(c.rows_a, 128)
+        rootseg[g] = np.stack([c.root_row, c.segtable])
+        gscal[g, 0] = int(c.base[0])
+        for ri, thr in enumerate(c.count_ranges):
+            gscal[g, 1 + ri] = int(thr)
+    consts = dict(
+        CB=CB, OB=OB, BB=BB, rows_c=rows_c, rows_a=rows_a,
+        n_ranges=max(1, n_ranges) if CB else 0,
+        owner_mask=(1 << OB) - 1, count_shift=16 - CB, seg_shift=BB - 7,
+    )
+    return c16s, dict(
+        classmap=classmap, comb=comb, aux=aux, rootseg=rootseg, gscal=gscal,
+        consts=consts,
+    )
+
+
 __all__ = [
     "Comb16Machine",
     "Comb16PallasAcEngine",
     "build_comb16",
+    "build_comb16_uniform",
     "comb16_structure_cost",
 ]
 

@@ -186,6 +186,33 @@ class DistributedAcEngine:
                 if len(comps) == 1
                 else None
             )
+            # Mid-tier groups: a UNIFORM comb16 table set (one kernel,
+            # per-group SMEM scalars) replaces the dense count step when it
+            # needs fewer gathers/byte — the same comb16-vs-dense economics
+            # as the single-chip engine ladder, now per needle shard.
+            self._c16g = None
+            import os as _os
+
+            if rows_max > 8 and _os.environ.get("AMT_DIST_COMB16", "1") != "0":
+                from ..models.minimize import count_minimized
+                from ..ops.comb16_scan import build_comb16_uniform
+
+                try:
+                    _, c16g = build_comb16_uniform(
+                        [count_minimized(sm) for sm in self.sub_machines]
+                    )
+                    cst = c16g["consts"]
+                    if cst["rows_c"] + cst["rows_a"] + 2 < rows_max:
+                        self._c16g = c16g
+                        self._c16g_dev = dict(
+                            classmap=jnp.asarray(c16g["classmap"]),
+                            comb=jnp.asarray(c16g["comb"]),
+                            aux=jnp.asarray(c16g["aux"]),
+                            rootseg=jnp.asarray(c16g["rootseg"]),
+                            gscal=jnp.asarray(c16g["gscal"]),
+                        )
+                except CapacityError:
+                    self._c16g = None
         else:
             n_states_max = max(sm.n_states for sm in self.sub_machines)
             deltas = np.zeros(
@@ -207,6 +234,8 @@ class DistributedAcEngine:
         all_axes = self._all_axes
         S_local = S // self.n_stream_shards
 
+        if self.inner == "pallas" and self._c16g is not None:
+            return self._build_c16_count_step(T, S)
         if self.inner == "pallas":
             from ..ops import pallas_scan as ps
 
@@ -320,6 +349,199 @@ class DistributedAcEngine:
         )
         return jax.jit(shard_fn), table_args
 
+    def _try_build_c16_contains_step(self, T: int, S: int):
+        """Uniform comb16 sticky step for mid-tier needle groups, or None
+        when no single field split fits every group's sticky view (caller
+        falls back to the dense sticky step)."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..models.minimize import count_minimized, minimize_sticky
+        from ..ops.comb16_scan import (
+            _make_c16_contains_kernel_dyn,
+            build_comb16_uniform,
+        )
+        from ..ops.pallas_scan import CapacityError, _StickyView
+
+        svs = [
+            minimize_sticky(_StickyView(count_minimized(sm)))
+            for sm in self.sub_machines
+        ]
+        try:
+            c16s, stacked = build_comb16_uniform(svs)
+        except CapacityError:
+            return None
+        absorbs = np.zeros((len(c16s), 1), dtype=np.int32)
+        for g, (sv, c) in enumerate(zip(svs, c16s)):
+            absorbs[g, 0] = int(c.base[sv.absorb])
+
+        mesh, stream_axes, all_axes = self.mesh, self._stream_axes, self._all_axes
+        S_local = S // self.n_stream_shards
+        R_local = S_local // 128
+        t_tile = 128 if T % 128 == 0 else T
+        n_tiles = T // t_tile
+        cst = stacked["consts"]
+        rows_c, rows_a = cst["rows_c"], cst["rows_a"]
+        rt = rows_c + rows_a + 2
+        unroll = 8 if rt <= 8 else (4 if rt <= 16 else 2)
+        while t_tile % unroll:
+            unroll //= 2
+        C = dict(cst, interpret=self._interpret)
+        kernel = _make_c16_contains_kernel_dyn(t_tile, R_local, C, n_tiles, unroll)
+        interp = self._interpret
+        n_gscal = stacked["gscal"].shape[1]
+
+        def per_shard(cm, comb, aux, rootseg, gscal, absorb, streams, warm, vend):
+            big = jnp.int32(2**31 - 1)
+            nzmin = jnp.min(jnp.where(vend > 0, vend, big))
+            bmin = jnp.where(jnp.any(vend > 0), nzmin, 0)
+            bscal = jnp.stack([warm.max(), bmin]).astype(jnp.int32)
+            out = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows_c, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows_a, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (t_tile, R_local, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((R_local, 128), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((R_local, 128), jnp.int32)],
+                interpret=interp,
+            )(
+                bscal,
+                gscal.reshape(n_gscal),
+                cm[0],
+                comb[0],
+                aux[0],
+                rootseg[0],
+                vend.reshape(R_local, 128),
+                streams.reshape(T, R_local, 128),
+            )
+            live = vend.reshape(R_local, 128) > 0
+            hit = jnp.where(live, out == absorb[0, 0], False)
+            return jax.lax.psum(hit.sum().astype(jnp.int32), all_axes)
+
+        table_args = (
+            jnp.asarray(stacked["classmap"]),
+            jnp.asarray(stacked["comb"]),
+            jnp.asarray(stacked["aux"]),
+            jnp.asarray(stacked["rootseg"]),
+            jnp.asarray(stacked["gscal"]),
+            jnp.asarray(absorbs),
+        )
+        fn = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P("needle"),) * 6
+            + (P(None, stream_axes), P(stream_axes), P(stream_axes)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(fn), table_args
+
+    def _build_c16_count_step(self, T: int, S: int):
+        """Per-shard comb16 count kernel (uniform field split across needle
+        groups, per-group scalars in SMEM — ``ops.comb16_scan.
+        _make_c16_count_kernel_dyn``), psum-reduced like the dense step."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..ops.comb16_scan import _make_c16_count_kernel_dyn
+
+        mesh = self.mesh
+        stream_axes = self._stream_axes
+        all_axes = self._all_axes
+        S_local = S // self.n_stream_shards
+        R_local = S_local // 128
+        t_tile = 128 if T % 128 == 0 else T
+        n_tiles = T // t_tile
+        cst = self._c16g["consts"]
+        rows_c, rows_a = cst["rows_c"], cst["rows_a"]
+        rt = rows_c + rows_a + 2
+        unroll = 8 if rt <= 8 else (4 if rt <= 16 else 2)
+        while t_tile % unroll:
+            unroll //= 2
+        C = dict(cst, interpret=self._interpret)
+        kernel = _make_c16_count_kernel_dyn(
+            t_tile, R_local, C, n_tiles, unroll, cst["n_ranges"]
+        )
+        interp = self._interpret
+        n_gscal = self._c16g["gscal"].shape[1]
+
+        def local_counts(cm, comb, aux, rootseg, gscal, streams, warm, vend):
+            big = jnp.int32(2**31 - 1)
+            nzmin = jnp.min(jnp.where(vend > 0, vend, big))
+            bmin = jnp.where(jnp.any(vend > 0), nzmin, 0)
+            bscal = jnp.stack([warm.max(), bmin]).astype(jnp.int32)
+            counts = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows_c, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows_a, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (t_tile, R_local, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((R_local, 128), jnp.int32),
+                scratch_shapes=[
+                    pltpu.VMEM((R_local, 128), jnp.int32),
+                    pltpu.VMEM((R_local, 128), jnp.int32),
+                ],
+                interpret=interp,
+            )(
+                bscal,
+                gscal.reshape(n_gscal),
+                cm[0],
+                comb[0],
+                aux[0],
+                rootseg[0],
+                warm.reshape(R_local, 128),
+                vend.reshape(R_local, 128),
+                streams.reshape(T, R_local, 128),
+            )
+            live = vend.reshape(R_local, 128) > 0
+            return jnp.where(live, counts, 0).astype(jnp.int64).sum()
+
+        def per_shard(cm, comb, aux, rootseg, gscal, streams, warm, vend):
+            local = local_counts(cm, comb, aux, rootseg, gscal, streams, warm, vend)
+            return jax.lax.psum(local, all_axes)
+
+        d = self._c16g_dev
+        table_args = (d["classmap"], d["comb"], d["aux"], d["rootseg"], d["gscal"])
+        table_specs = (P("needle"),) * 5
+
+        shard_fn = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=table_specs
+            + (P(None, stream_axes), P(stream_axes), P(stream_axes)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(shard_fn), table_args
+
     # -- layout ------------------------------------------------------------
 
     def _layout(self, data: np.ndarray):
@@ -393,6 +615,11 @@ class DistributedAcEngine:
         from jax.experimental.pallas import tpu as pltpu
 
         from ..ops import pallas_scan as ps
+
+        if self._c16g is not None:
+            step = self._try_build_c16_contains_step(T, S)
+            if step is not None:
+                return step
 
         svs = [ps._StickyView(sm) for sm in self.sub_machines]
         comps = [ps.CompressedMachine.from_machine(sv, force_packing=1) for sv in svs]

@@ -208,3 +208,53 @@ def test_pallas_inner_interpret(data, seq, needle):
     oracle = ac.all_matches(m, hay)
     assert len(ends) == len(oracle)
     assert all(int(e) == o.pos and int(v) == o.value for e, v, o in zip(ends, vids, oracle))
+
+
+@pytest.mark.parametrize("data,seq,needle", [(2, 1, 2), (1, 2, 2)])
+def test_comb16_inner_interpret(data, seq, needle):
+    """Mid-tier needle groups route the distributed count step through the
+    UNIFORM comb16 kernel (per-group SMEM scalars) instead of the dense
+    select chain — counts must stay bit-identical to single-chip."""
+    rng = np.random.default_rng(17)
+    needles = list(
+        dict.fromkeys(
+            "".join(chr(97 + c) for c in rng.integers(0, 26, size=rng.integers(4, 9)))
+            for _ in range(80)
+        )
+    )[:70]
+    needles[:3] = ["abc", "abcd", "c"]  # overlap -> count>=2 states
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    frags = [n.encode() for n in needles[:20]] + [b"zqzqzq", b"abcabcd"]
+    hay = b"".join(frags[i] for i in rng.integers(0, len(frags), 700))
+    mesh = make_mesh(
+        jax.devices()[: data * seq * needle], data=data, seq=seq, needle=needle
+    )
+    engine = DistributedAcEngine(m, mesh, inner="pallas", interpret=True)
+    assert engine._c16g is not None, "comb16 inner did not engage"
+    assert engine.count(hay) == ac.count_matches(m, hay)
+    # staged reuse + the dense-path ops still work on the same handle
+    st = engine.stage(hay)
+    assert engine.count_staged(st) == ac.count_matches(m, hay)
+    assert engine.contains_any(st) is True
+    assert engine.contains_any(b"zq" * 500) is False
+    # the sticky step also routed through the uniform comb16 kernel
+    # (6 table args: classmap/comb/aux/rootseg/gscal/absorbs; dense has 3)
+    ckey = [k for k in engine._count_step if isinstance(k, tuple) and k[0] == "contains"]
+    assert ckey and len(engine._count_step[ckey[0]][1]) == 6
+
+
+def test_comb16_inner_kill_switch(monkeypatch):
+    monkeypatch.setenv("AMT_DIST_COMB16", "0")
+    rng = np.random.default_rng(17)
+    needles = list(
+        dict.fromkeys(
+            "".join(chr(97 + c) for c in rng.integers(0, 26, size=rng.integers(4, 9)))
+            for _ in range(80)
+        )
+    )[:70]
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    mesh = make_mesh(jax.devices()[:4], data=2, seq=1, needle=2)
+    engine = DistributedAcEngine(m, mesh, inner="pallas", interpret=True)
+    assert engine._c16g is None
+    hay = b"".join(n.encode() for n in needles[:30]) * 5
+    assert engine.count(hay) == ac.count_matches(m, hay)
