@@ -623,35 +623,62 @@ def _make_c16_count_kernel(T_TILE, R, C, n_tiles, unroll, reps, fold=False, wpai
     return kernel
 
 
-def _make_c16_count_kernel_dyn(T_TILE, R, C, n_tiles, unroll, n_ranges):
+def _make_c16_count_kernel_dyn(
+    T_TILE, R, C, n_tiles, unroll, n_ranges, n_groups=1, reps=1
+):
     """Count kernel with PER-GROUP scalars read from SMEM: ``gscal_ref`` =
-    int32 ``[1 + n_ranges]`` holding (root_cb, count-range thresholds padded
-    with 2^BB sentinels).  Field split (CB/OB/BB) and row counts are static
-    and UNIFORM across groups (``build_comb16(split=...)``), so one compiled
-    kernel serves every needle shard of the distributed engine under
-    ``shard_map``.  No fold/wpairs (classmaps differ per group); reps=1."""
+    int32 ``[n_groups, 1 + n_ranges]`` holding (root_cb, count-range
+    thresholds padded with 2^BB sentinels).  Field split (CB/OB/BB) and row
+    counts are static and UNIFORM across groups (``build_comb16(split=...)``).
+
+    Two callers:
+    * the distributed engine (``n_groups=1``): one kernel serves every
+      needle shard under ``shard_map``;
+    * the FUSED grouped engine: ``grid = n_groups * n_tiles`` — segment g
+      re-reads the staged stream tiles against group g's tables (BlockSpec
+      ``index_map i -> (i // n_tiles, ...)`` on the stacked arrays), state
+      re-warms per segment, counts accumulate across segments — G needle
+      groups in ONE launch instead of G.
+    No fold/wpairs (classmaps differ per group).  ``reps`` re-runs the whole
+    group-major grid against the resident streams (benchmark amortization,
+    same convention as the single-chip kernels — counts come back
+    ``reps *`` base)."""
     bmask = (1 << C["BB"]) - 1
     cshift = C["count_shift"]
+    n_grid = reps * n_groups * n_tiles
 
     def kernel(
         bscal_ref, gscal_ref, classmap_ref, comb_ref, aux_ref, rootseg_ref,
         warm_ref, vend_ref, streams_ref, out_ref, cb_scr, count_scr,
     ):
         tile = pl.program_id(0)
+        grp = (
+            jax.lax.rem(tile // n_tiles, n_groups) if n_groups > 1 else 0
+        )  # reps wrap around the group-major segments
+        tmod = jax.lax.rem(tile, n_tiles) if (n_groups > 1 or reps > 1) else tile
+
+        @pl.when(tmod == 0)
+        def _init():
+            cb_scr[:] = jnp.full((R, 128), gscal_ref[grp, 0], jnp.int32)
 
         @pl.when(tile == 0)
-        def _init():
-            cb_scr[:] = jnp.full((R, 128), gscal_ref[0], jnp.int32)
+        def _init_counts():
             count_scr[:] = jnp.zeros((R, 128), jnp.int32)
 
-        cls_rows = _broadcast_rows(classmap_ref[:], 2, R)
-        comb_b = _broadcast_rows(comb_ref[:], C["rows_c"], R)
-        aux_b = _broadcast_rows(aux_ref[:], C["rows_a"], R)
-        root_b = jax.lax.broadcast_in_dim(rootseg_ref[0], (R, 128), (1,))
-        seg_b = jax.lax.broadcast_in_dim(rootseg_ref[1], (R, 128), (1,))
+        def _blk(ref):
+            # Fused grouped callers slice stacked [G, ...] tables with a
+            # leading block dim of 1; distributed callers pass 2-D blocks.
+            return ref[0] if len(ref.shape) == 3 else ref[:]
+
+        cls_rows = _broadcast_rows(_blk(classmap_ref), 2, R)
+        comb_b = _broadcast_rows(_blk(comb_ref), C["rows_c"], R)
+        aux_b = _broadcast_rows(_blk(aux_ref), C["rows_a"], R)
+        rs = _blk(rootseg_ref)
+        root_b = jax.lax.broadcast_in_dim(rs[0], (R, 128), (1,))
+        seg_b = jax.lax.broadcast_in_dim(rs[1], (R, 128), (1,))
         warm = warm_ref[:]
         vend = vend_ref[:]
-        t0 = tile * T_TILE
+        t0 = tmod * T_TILE
 
         def make_body(masked):
             def body(u, carry):
@@ -664,7 +691,7 @@ def _make_c16_count_kernel_dyn(T_TILE, R, C, n_tiles, unroll, n_ranges):
                     if C["CB"]:
                         cnt = (e >> cshift) & 1
                         for ri in range(n_ranges):  # sentinel 2^BB => never
-                            cnt = cnt + jnp.where(cb >= gscal_ref[1 + ri], 1, 0)
+                            cnt = cnt + jnp.where(cb >= gscal_ref[grp, 1 + ri], 1, 0)
                     else:
                         cnt = jnp.zeros((R, 128), jnp.int32)
                     if masked:
@@ -685,7 +712,7 @@ def _make_c16_count_kernel_dyn(T_TILE, R, C, n_tiles, unroll, n_ranges):
         cb_scr[:] = cb
         count_scr[:] = counts
 
-        @pl.when(tile == n_tiles - 1)
+        @pl.when(tile == n_grid - 1)
         def _fin():
             out_ref[:] = count_scr[:]
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..models import ac
@@ -213,6 +214,7 @@ class GroupedPallasAcEngine:
         self.groups: List[List[int]] = []
         self.engines: List[PallasAcEngine] = []
         self.vid_maps: List[np.ndarray] = []
+        self._fused = False  # built lazily on first count (None = not fusable)
         # All sub-engines share the FULL machine's overlap so one staged
         # stream layout serves every group pass (staging dominates
         # multi-pass cost otherwise).
@@ -280,7 +282,144 @@ class GroupedPallasAcEngine:
 
         return sum(rows(e) for e in self.engines)
 
+    # -- fused single-launch count ------------------------------------------
+    #
+    # G per-group passes pay G kernel launches (a ~30 ms relay round-trip
+    # each on tunneled devices) plus G stream re-reads.  When every group
+    # fits ONE uniform comb16 field split (ops.comb16_scan.
+    # build_comb16_uniform), a single grid of G * n_tiles segments scans the
+    # resident streams against each group's tables in one launch: per-group
+    # scalars ride in SMEM, table BlockSpecs step to segment (i // n_tiles)'s
+    # slice, counts accumulate across segments.  Gathers/byte are unchanged
+    # (the ~165/rows law) — this removes the per-pass launch + dispatch
+    # overhead, which dominates small-corpus scans.
+
+    def _fused_setup(self):
+        if self._fused is False:
+            import os
+
+            import jax.numpy as jnp
+
+            from ..models.minimize import count_minimized
+            from .comb16_scan import build_comb16_uniform
+
+            self._fused = None
+            if (
+                len(self.engines) >= 2
+                and os.environ.get("AMT_FUSED_GROUPS", "1") != "0"
+            ):
+                try:
+                    subs = [count_minimized(e.machine) for e in self.engines]
+                    _, stacked = build_comb16_uniform(subs)
+                    cst = stacked["consts"]
+                    fused_rows = len(subs) * (cst["rows_c"] + cst["rows_a"] + 2)
+                    # Uniform (max) rows per group must not outweigh the
+                    # launch savings: allow modest inflation only.
+                    if fused_rows <= 1.3 * self.total_rows:
+                        self._fused = dict(
+                            stacked=stacked,
+                            machines=subs,
+                            dev=dict(
+                                classmap=jnp.asarray(stacked["classmap"]),
+                                comb=jnp.asarray(stacked["comb"]),
+                                aux=jnp.asarray(stacked["aux"]),
+                                rootseg=jnp.asarray(stacked["rootseg"]),
+                                gscal=jnp.asarray(stacked["gscal"]),
+                            ),
+                            fns={},
+                        )
+                except CapacityError:
+                    self._fused = None
+        return self._fused
+
+    def _fused_bscal(self, st):
+        import jax.numpy as jnp
+
+        from .pallas_scan import _boundary_scalars, _zero_inert
+
+        if not st.zero_inert or all(
+            _zero_inert(m) for m in self._fused["machines"]
+        ):
+            return st.bscal
+        if st._bscal_strict is None:
+            vend = np.asarray(st.vend_t).reshape(-1)
+            st._bscal_strict = jnp.asarray(_boundary_scalars(st.warm_np, vend, False))
+        return st._bscal_strict
+
+    def _get_fused_count_fn(self, T: int, reps: int):
+        import jax
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from .comb16_scan import _make_c16_count_kernel_dyn
+
+        f = self._fused
+        key = (T, reps)
+        if key not in f["fns"]:
+            e0 = self.engines[0]
+            R, t_tile = e0.R, e0.t_tile
+            n_tiles = T // t_tile
+            G = len(self.engines)
+            cst = f["stacked"]["consts"]
+            rows_c, rows_a = cst["rows_c"], cst["rows_a"]
+            rt = rows_c + rows_a + 2
+            unroll = 8 if rt <= 8 else (4 if rt <= 16 else 2)
+            while t_tile % unroll:
+                unroll //= 2
+            C = dict(cst, interpret=e0.interpret)
+            kernel = _make_c16_count_kernel_dyn(
+                t_tile, R, C, n_tiles, unroll, cst["n_ranges"], n_groups=G, reps=reps
+            )
+            n_grid = reps * G * n_tiles
+
+            @jax.jit
+            def run(bscal, gscal, classmap, comb, aux, rootseg, warm, vend, streams_u8):
+                streams = streams_u8.reshape(T, R, 128)
+                gsel = lambda i: ((i // n_tiles) % G, 0, 0)  # noqa: E731
+                return pl.pallas_call(
+                    kernel,
+                    grid=(n_grid,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec((1, 2, 128), gsel, memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, rows_c, 128), gsel, memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, rows_a, 128), gsel, memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, 2, 128), gsel, memory_space=pltpu.VMEM),
+                        pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (t_tile, R, 128), lambda i: (i % n_tiles, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    ),
+                    out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+                    scratch_shapes=[
+                        pltpu.VMEM((R, 128), jnp.int32),
+                        pltpu.VMEM((R, 128), jnp.int32),
+                    ],
+                    interpret=e0.interpret,
+                )(bscal, gscal, classmap, comb, aux, rootseg, warm, vend, streams)
+
+            f["fns"][key] = run
+        return f["fns"][key]
+
     def count_staged(self, st, reps: int = 1) -> int:
+        f = self._fused_setup()
+        if f is not None:
+            fn = self._get_fused_count_fn(st.plan.time_len, reps)
+            d = f["dev"]
+            counts = fn(
+                self._fused_bscal(st), d["gscal"], d["classmap"], d["comb"],
+                d["aux"], d["rootseg"], st.warm_t, st.vend_t, st.streams_dev,
+            )
+            counts = np.asarray(counts, dtype=np.int64)
+            if st.live_np is not None:
+                counts = counts[st.live_np]
+            return int(counts.sum())
         return sum(e.count_staged(st, reps) for e in self.engines)
 
     def count(self, text: utf8.TextLike) -> int:

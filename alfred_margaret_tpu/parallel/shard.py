@@ -512,7 +512,7 @@ class DistributedAcEngine:
                 interpret=interp,
             )(
                 bscal,
-                gscal.reshape(n_gscal),
+                gscal.reshape(1, n_gscal),
                 cm[0],
                 comb[0],
                 aux[0],

@@ -96,8 +96,21 @@ def main():
     print(f"grouped 1k: groups={g1k.n_groups} rows={g1k.total_rows}", flush=True)
     st1k = g1k._stage(d1k)
     assert g1k.count_staged(st1k) == exp1k, "grouped 1k count mismatch"
+    print(f"grouped 1k fused: {g1k._fused is not None}", flush=True)
     gbs1k = slope(lambda r: g1k.count_staged(st1k, r), len(d1k), r2=10)
-    print(f"grouped 1k count: {gbs1k:.2f} GB/s", flush=True)
+    print(f"grouped 1k count (fused single launch): {gbs1k:.2f} GB/s", flush=True)
+    if g1k._fused is not None:
+        # Per-group multi-launch comparison (the pre-fusion path).
+        import os
+        t0 = time.perf_counter()
+        got = sum(e.count_staged(st1k) for e in g1k.engines)
+        t_multi = time.perf_counter() - t0
+        assert got == exp1k
+        t0 = time.perf_counter()
+        g1k.count_staged(st1k)
+        t_fused = time.perf_counter() - t0
+        print(f"grouped 1k one-shot wall: fused {t_fused*1e3:.0f} ms vs "
+              f"multi-launch {t_multi*1e3:.0f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -442,3 +442,48 @@ class TestPaddedStreamSafety:
         # ...and counts exactly on the shared staging.
         assert e_nul.count_staged(st) == ac.count_matches(m_nul, data.tobytes())
         assert e_inert.count_staged(st) == ac.count_matches(m_inert, data.tobytes())
+
+
+class TestFusedGroupedCount:
+    """Single-launch fused grouped count (uniform comb16 across groups)."""
+
+    def _mid(self, n=150, seed=17):
+        rng = np.random.default_rng(seed)
+        needles = list(
+            dict.fromkeys(
+                "".join(chr(97 + c) for c in rng.integers(0, 26, size=rng.integers(4, 9)))
+                for _ in range(n + 10)
+            )
+        )[:n]
+        m = ac.build([(x, i) for i, x in enumerate(needles)])
+        frags = [x.encode() for x in needles[:20]] + [b"zqzq"]
+        hay = b"".join(frags[i] for i in rng.integers(0, len(frags), 600))
+        return m, hay
+
+    def test_fused_count_parity(self):
+        from alfred_margaret_tpu.ops.grouped import GroupedPallasAcEngine
+
+        m, hay = self._mid()
+        eng = GroupedPallasAcEngine(
+            m, max_rows=5, n_streams=256, t_tile=64, interpret=True, unroll=4
+        )
+        assert eng.n_groups > 1
+        st = eng._stage(hay)
+        expected = ac.count_matches(m, hay)
+        assert eng.count_staged(st) == expected
+        assert eng._fused is not None, "fused path did not engage"
+        # reps grid used by the sustained benchmark
+        assert eng.count_staged(st, reps=2) == 2 * expected
+        # per-group fallback agrees (kill switch)
+        assert sum(e.count_staged(st) for e in eng.engines) == expected
+
+    def test_fused_kill_switch(self, monkeypatch):
+        from alfred_margaret_tpu.ops.grouped import GroupedPallasAcEngine
+
+        monkeypatch.setenv("AMT_FUSED_GROUPS", "0")
+        m, hay = self._mid(150)
+        eng = GroupedPallasAcEngine(
+            m, max_rows=5, n_streams=256, t_tile=64, interpret=True, unroll=4
+        )
+        assert eng.count(hay) == ac.count_matches(m, hay)
+        assert eng._fused is None
