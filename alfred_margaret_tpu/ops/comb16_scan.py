@@ -342,7 +342,7 @@ def build_comb16(
     mc = np.asarray(machine.match_count, dtype=np.int64)
     if split is not None:
         CB, OB, BB = split
-        if CB + OB + BB != 16 or S + 8 > (1 << BB):
+        if CB + OB + BB != 16 or BB < 8 or S + 8 > (1 << BB):
             raise CapacityError(f"forced split {split} cannot hold {S} states")
         if int(mc.max(initial=0)) > MAX_COUNT16:
             raise CapacityError("match count exceeds comb16 range encoding")
@@ -432,6 +432,12 @@ def _build_with_fields(
         # verification below would IndexError instead of falling back).
         rows_a = -(-(int(cbase.max(initial=0)) + k) // 256)
         a_pad = rows_a * 256
+    if rows_c + rows_a + 2 > max_rows_total:
+        # Exact budget check now that both row counts are final (the
+        # rows_c-side early check assumed rows_a == 1).
+        raise CapacityError(
+            f"comb16 needs {rows_c}+{rows_a}+2 gathers > {max_rows_total} budget"
+        )
 
     mach = Comb16Machine(
         classmap=classmap,

@@ -298,8 +298,6 @@ class GroupedPallasAcEngine:
         if self._fused is False:
             import os
 
-            import jax.numpy as jnp
-
             from ..models.minimize import count_minimized
             from .comb16_scan import build_comb16_uniform
 
@@ -333,8 +331,6 @@ class GroupedPallasAcEngine:
         return self._fused
 
     def _fused_bscal(self, st):
-        import jax.numpy as jnp
-
         from .pallas_scan import _boundary_scalars, _zero_inert
 
         if not st.zero_inert or all(
@@ -362,10 +358,10 @@ class GroupedPallasAcEngine:
             G = len(self.engines)
             cst = f["stacked"]["consts"]
             rows_c, rows_a = cst["rows_c"], cst["rows_a"]
+            from .pallas_scan import _fit_unroll
+
             rt = rows_c + rows_a + 2
-            unroll = 8 if rt <= 8 else (4 if rt <= 16 else 2)
-            while t_tile % unroll:
-                unroll //= 2
+            unroll = _fit_unroll(8 if rt <= 8 else (4 if rt <= 16 else 2), t_tile)
             C = dict(cst, interpret=e0.interpret)
             kernel = _make_c16_count_kernel_dyn(
                 t_tile, R, C, n_tiles, unroll, cst["n_ranges"], n_groups=G, reps=reps

@@ -349,43 +349,68 @@ class DistributedAcEngine:
         )
         return jax.jit(shard_fn), table_args
 
-    def _try_build_c16_contains_step(self, T: int, S: int):
+    def _sticky16_tables(self):
+        """Cached uniform comb16 sticky table set (shape-independent — one
+        host-side build + device upload shared by every (T, S) step), or
+        None when no single field split fits every group's sticky view."""
+        if not hasattr(self, "_sticky16"):
+            from ..models.minimize import count_minimized, minimize_sticky
+            from ..ops.comb16_scan import build_comb16_uniform
+            from ..ops.pallas_scan import CapacityError, _StickyView
+
+            self._sticky16 = None
+            svs = [
+                minimize_sticky(_StickyView(count_minimized(sm)))
+                for sm in self.sub_machines
+            ]
+            try:
+                c16s, stacked = build_comb16_uniform(svs)
+            except CapacityError:
+                return None
+            absorbs = np.zeros((len(c16s), 1), dtype=np.int32)
+            for g, (sv, c) in enumerate(zip(svs, c16s)):
+                absorbs[g, 0] = int(c.base[sv.absorb])
+            self._sticky16 = dict(
+                stacked=stacked,
+                args=(
+                    jnp.asarray(stacked["classmap"]),
+                    jnp.asarray(stacked["comb"]),
+                    jnp.asarray(stacked["aux"]),
+                    jnp.asarray(stacked["rootseg"]),
+                    jnp.asarray(stacked["gscal"]),
+                    jnp.asarray(absorbs),
+                ),
+            )
+        return self._sticky16
+
+    def _try_build_c16_contains_step(self, T: int, S: int, dense_rows: int):
         """Uniform comb16 sticky step for mid-tier needle groups, or None
-        when no single field split fits every group's sticky view (caller
-        falls back to the dense sticky step)."""
+        when it does not fit or does not beat the ``dense_rows``-gather
+        dense sticky step (caller falls back)."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        from ..models.minimize import count_minimized, minimize_sticky
-        from ..ops.comb16_scan import (
-            _make_c16_contains_kernel_dyn,
-            build_comb16_uniform,
-        )
-        from ..ops.pallas_scan import CapacityError, _StickyView
+        from ..ops.comb16_scan import _make_c16_contains_kernel_dyn
 
-        svs = [
-            minimize_sticky(_StickyView(count_minimized(sm)))
-            for sm in self.sub_machines
-        ]
-        try:
-            c16s, stacked = build_comb16_uniform(svs)
-        except CapacityError:
+        sticky = self._sticky16_tables()
+        if sticky is None:
             return None
-        absorbs = np.zeros((len(c16s), 1), dtype=np.int32)
-        for g, (sv, c) in enumerate(zip(svs, c16s)):
-            absorbs[g, 0] = int(c.base[sv.absorb])
+        stacked = sticky["stacked"]
+        cst16 = stacked["consts"]
+        if cst16["rows_c"] + cst16["rows_a"] + 2 >= dense_rows:
+            return None  # the dense sticky chain is already cheaper
 
         mesh, stream_axes, all_axes = self.mesh, self._stream_axes, self._all_axes
         S_local = S // self.n_stream_shards
         R_local = S_local // 128
         t_tile = 128 if T % 128 == 0 else T
         n_tiles = T // t_tile
+        from ..ops.pallas_scan import _fit_unroll
+
         cst = stacked["consts"]
         rows_c, rows_a = cst["rows_c"], cst["rows_a"]
         rt = rows_c + rows_a + 2
-        unroll = 8 if rt <= 8 else (4 if rt <= 16 else 2)
-        while t_tile % unroll:
-            unroll //= 2
+        unroll = _fit_unroll(8 if rt <= 8 else (4 if rt <= 16 else 2), t_tile)
         C = dict(cst, interpret=self._interpret)
         kernel = _make_c16_contains_kernel_dyn(t_tile, R_local, C, n_tiles, unroll)
         interp = self._interpret
@@ -432,14 +457,6 @@ class DistributedAcEngine:
             hit = jnp.where(live, out == absorb[0, 0], False)
             return jax.lax.psum(hit.sum().astype(jnp.int32), all_axes)
 
-        table_args = (
-            jnp.asarray(stacked["classmap"]),
-            jnp.asarray(stacked["comb"]),
-            jnp.asarray(stacked["aux"]),
-            jnp.asarray(stacked["rootseg"]),
-            jnp.asarray(stacked["gscal"]),
-            jnp.asarray(absorbs),
-        )
         fn = jax.shard_map(
             per_shard,
             mesh=mesh,
@@ -448,7 +465,7 @@ class DistributedAcEngine:
             out_specs=P(),
             check_vma=False,
         )
-        return jax.jit(fn), table_args
+        return jax.jit(fn), sticky["args"]
 
     def _build_c16_count_step(self, T: int, S: int):
         """Per-shard comb16 count kernel (uniform field split across needle
@@ -466,12 +483,12 @@ class DistributedAcEngine:
         R_local = S_local // 128
         t_tile = 128 if T % 128 == 0 else T
         n_tiles = T // t_tile
+        from ..ops.pallas_scan import _fit_unroll
+
         cst = self._c16g["consts"]
         rows_c, rows_a = cst["rows_c"], cst["rows_a"]
         rt = rows_c + rows_a + 2
-        unroll = 8 if rt <= 8 else (4 if rt <= 16 else 2)
-        while t_tile % unroll:
-            unroll //= 2
+        unroll = _fit_unroll(8 if rt <= 8 else (4 if rt <= 16 else 2), t_tile)
         C = dict(cst, interpret=self._interpret)
         kernel = _make_c16_count_kernel_dyn(
             t_tile, R_local, C, n_tiles, unroll, cst["n_ranges"]
@@ -616,14 +633,15 @@ class DistributedAcEngine:
 
         from ..ops import pallas_scan as ps
 
-        if self._c16g is not None:
-            step = self._try_build_c16_contains_step(T, S)
-            if step is not None:
-                return step
-
         svs = [ps._StickyView(sm) for sm in self.sub_machines]
         comps = [ps.CompressedMachine.from_machine(sv, force_packing=1) for sv in svs]
         rows = max(c.rows for c in comps)
+        if self._c16g is not None:
+            # Uniform comb16 sticky step — only when it actually beats the
+            # dense sticky chain's gather count.
+            step = self._try_build_c16_contains_step(T, S, rows)
+            if step is not None:
+                return step
         cms = np.stack([np.resize(c.classmap, 256).reshape(2, 128) for c in comps])
         tabs = np.zeros((len(comps), rows, 128), dtype=np.int32)
         absorbs = np.zeros((len(comps), 1), dtype=np.int32)

@@ -100,15 +100,20 @@ def main():
     gbs1k = slope(lambda r: g1k.count_staged(st1k, r), len(d1k), r2=10)
     print(f"grouped 1k count (fused single launch): {gbs1k:.2f} GB/s", flush=True)
     if g1k._fused is not None:
-        # Per-group multi-launch comparison (the pre-fusion path).
-        import os
-        t0 = time.perf_counter()
+        # Per-group multi-launch comparison (the pre-fusion path).  Warm
+        # every per-group compile first so the comparison times launches,
+        # not JIT (per the slope() convention).
         got = sum(e.count_staged(st1k) for e in g1k.engines)
-        t_multi = time.perf_counter() - t0
         assert got == exp1k
-        t0 = time.perf_counter()
         g1k.count_staged(st1k)
-        t_fused = time.perf_counter() - t0
+        t_multi = t_fused = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            sum(e.count_staged(st1k) for e in g1k.engines)
+            t_multi = min(t_multi, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            g1k.count_staged(st1k)
+            t_fused = min(t_fused, time.perf_counter() - t0)
         print(f"grouped 1k one-shot wall: fused {t_fused*1e3:.0f} ms vs "
               f"multi-launch {t_multi*1e3:.0f} ms", flush=True)
 
