@@ -725,30 +725,46 @@ def _make_c16_count_kernel_dyn(
     return kernel
 
 
-def _make_c16_contains_kernel_dyn(T_TILE, R, C, n_tiles, unroll):
-    """Sticky existence kernel with the PER-GROUP root base in SMEM
-    (``gscal_ref[0]``; the absorb base is compared host-side of the
-    pallas_call) — the distributed analogue of ``_make_c16_contains_kernel``
-    with a uniform field split across needle groups."""
+def _make_c16_contains_kernel_dyn(T_TILE, R, C, n_tiles, unroll, n_groups=1):
+    """Sticky existence kernel with PER-GROUP scalars in SMEM: ``gscal_ref``
+    = int32 ``[n_groups, >=2]`` holding (root base, absorb base).
+
+    ``n_groups == 1``: the distributed per-shard step — the final carried
+    base is written out and compared host-side of the pallas_call.
+    ``n_groups > 1``: the FUSED grouped step — grid of ``n_groups * n_tiles``
+    group-major segments; at each segment's last tile the absorb comparison
+    folds into a sticky hit accumulator, so G groups answer ``containsAny``
+    in ONE launch (the output is a hit mask, nonzero anywhere == True)."""
     bmask = (1 << C["BB"]) - 1
 
     def kernel(
         bscal_ref, gscal_ref, classmap_ref, comb_ref, aux_ref, rootseg_ref,
-        vend_ref, streams_ref, out_ref, cb_scr,
+        vend_ref, streams_ref, out_ref, cb_scr, hit_scr,
     ):
         tile = pl.program_id(0)
+        grp = jax.lax.rem(tile // n_tiles, n_groups) if n_groups > 1 else 0
+        tmod = jax.lax.rem(tile, n_tiles) if n_groups > 1 else tile
+        n_grid = n_groups * n_tiles
+
+        @pl.when(tmod == 0)
+        def _init():
+            cb_scr[:] = jnp.full((R, 128), gscal_ref[grp, 0], jnp.int32)
 
         @pl.when(tile == 0)
-        def _init():
-            cb_scr[:] = jnp.full((R, 128), gscal_ref[0], jnp.int32)
+        def _init_hits():
+            hit_scr[:] = jnp.zeros((R, 128), jnp.int32)
 
-        cls_rows = _broadcast_rows(classmap_ref[:], 2, R)
-        comb_b = _broadcast_rows(comb_ref[:], C["rows_c"], R)
-        aux_b = _broadcast_rows(aux_ref[:], C["rows_a"], R)
-        root_b = jax.lax.broadcast_in_dim(rootseg_ref[0], (R, 128), (1,))
-        seg_b = jax.lax.broadcast_in_dim(rootseg_ref[1], (R, 128), (1,))
+        def _blk(ref):
+            return ref[0] if len(ref.shape) == 3 else ref[:]
+
+        cls_rows = _broadcast_rows(_blk(classmap_ref), 2, R)
+        comb_b = _broadcast_rows(_blk(comb_ref), C["rows_c"], R)
+        aux_b = _broadcast_rows(_blk(aux_ref), C["rows_a"], R)
+        rs = _blk(rootseg_ref)
+        root_b = jax.lax.broadcast_in_dim(rs[0], (R, 128), (1,))
+        seg_b = jax.lax.broadcast_in_dim(rs[1], (R, 128), (1,))
         vend = vend_ref[:]
-        t0 = tile * T_TILE
+        t0 = tmod * T_TILE
 
         def make_body(masked):
             def body(u, cb):
@@ -771,9 +787,13 @@ def _make_c16_contains_kernel_dyn(T_TILE, R, C, n_tiles, unroll):
         )
         cb_scr[:] = cb
 
-        @pl.when(tile == n_tiles - 1)
+        @pl.when(tmod == n_tiles - 1)
+        def _segment_hit():
+            hit_scr[:] = hit_scr[:] | jnp.where(cb == gscal_ref[grp, 1], 1, 0)
+
+        @pl.when(tile == n_grid - 1)
         def _fin():
-            out_ref[:] = cb_scr[:]
+            out_ref[:] = hit_scr[:] if n_groups > 1 else cb_scr[:]
 
     return kernel
 
@@ -1043,7 +1063,10 @@ class Comb16PallasAcEngine(PallasAcEngine):
             # count quotient preserves — start from the memoized minimized
             # machine and quotient the much smaller view.
             sv = minimize_sticky(_StickyView(count_minimized(self.machine)))
-            c16 = build_comb16(sv, self.max_rows)
+            # The sticky view may need a row or two more than the count
+            # machine the caller's budget was sized for; its only hard
+            # constraint is the kernel's global row capacity.
+            c16 = build_comb16(sv, max(self.max_rows, MAX_ROWS))
             cm256 = np.zeros(256, dtype=np.int32)
             cm256[: len(c16.classmap)] = c16.classmap
             self._contains_state = dict(

@@ -723,7 +723,9 @@ class CombPallasAcEngine(PallasAcEngine):
             # count quotient preserves — so start from the (memoized)
             # minimized machine and quotient the much smaller view.
             sv = minimize_sticky(_StickyView(count_minimized(self.machine)))
-            comb = build_comb(sv, self.max_rows)
+            # Sticky views get the global row capacity (see comb16's
+            # _sticky_setup): the caller's budget sized the COUNT tables.
+            comb = build_comb(sv, max(self.max_rows, MAX_ROWS))
             fold, wpairs, cm_dev, comb_dev, def_dev = self._make_tables(comb)
             self._contains_state = dict(
                 comb=comb,

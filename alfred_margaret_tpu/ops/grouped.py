@@ -424,10 +424,124 @@ class GroupedPallasAcEngine:
             return 0
         return self.count_staged(st)
 
+    def _fused_sticky_setup(self):
+        """Uniform comb16 sticky table set for the fused single-launch
+        containsAny, or None (fall back to per-group passes).  Only
+        attempted when the count fusion engaged (same group economics)."""
+        if getattr(self, "_fused_sticky", False) is False:
+            self._fused_sticky = None
+            if self._fused_setup() is not None:
+                from ..models.minimize import count_minimized, minimize_sticky
+                from .comb16_scan import build_comb16_uniform
+                from .pallas_scan import _StickyView
+
+                try:
+                    svs = [
+                        minimize_sticky(_StickyView(count_minimized(e.machine)))
+                        for e in self.engines
+                    ]
+                    c16s, stacked = build_comb16_uniform(svs)
+                except CapacityError:
+                    return None
+                # gscal per group: (root base, absorb base).
+                gscal2 = np.stack(
+                    [
+                        stacked["gscal"][:, 0],
+                        np.asarray(
+                            [int(c.base[sv.absorb]) for sv, c in zip(svs, c16s)],
+                            dtype=np.int32,
+                        ),
+                    ],
+                    axis=1,
+                ).astype(np.int32)
+                self._fused_sticky = dict(
+                    stacked=stacked,
+                    dev=dict(
+                        classmap=jnp.asarray(stacked["classmap"]),
+                        comb=jnp.asarray(stacked["comb"]),
+                        aux=jnp.asarray(stacked["aux"]),
+                        rootseg=jnp.asarray(stacked["rootseg"]),
+                        gscal=jnp.asarray(gscal2),
+                    ),
+                    fns={},
+                )
+        return self._fused_sticky
+
+    def _get_fused_contains_fn(self, T: int):
+        import jax
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from .comb16_scan import _make_c16_contains_kernel_dyn
+        from .pallas_scan import _fit_unroll
+
+        f = self._fused_sticky
+        if T not in f["fns"]:
+            e0 = self.engines[0]
+            R, t_tile = e0.R, e0.t_tile
+            n_tiles = T // t_tile
+            G = len(self.engines)
+            cst = f["stacked"]["consts"]
+            rows_c, rows_a = cst["rows_c"], cst["rows_a"]
+            rt = rows_c + rows_a + 2
+            unroll = _fit_unroll(8 if rt <= 8 else (4 if rt <= 16 else 2), t_tile)
+            C = dict(cst, interpret=e0.interpret)
+            kernel = _make_c16_contains_kernel_dyn(
+                t_tile, R, C, n_tiles, unroll, n_groups=G
+            )
+
+            @jax.jit
+            def run(bscal, gscal, classmap, comb, aux, rootseg, vend, streams_u8):
+                streams = streams_u8.reshape(T, R, 128)
+                gsel = lambda i: ((i // n_tiles) % G, 0, 0)  # noqa: E731
+                return pl.pallas_call(
+                    kernel,
+                    grid=(G * n_tiles,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec((1, 2, 128), gsel, memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, rows_c, 128), gsel, memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, rows_a, 128), gsel, memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, 2, 128), gsel, memory_space=pltpu.VMEM),
+                        pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (t_tile, R, 128), lambda i: (i % n_tiles, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    ),
+                    out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+                    scratch_shapes=[
+                        pltpu.VMEM((R, 128), jnp.int32),
+                        pltpu.VMEM((R, 128), jnp.int32),
+                    ],
+                    interpret=e0.interpret,
+                )(bscal, gscal, classmap, comb, aux, rootseg, vend, streams)
+
+            f["fns"][T] = run
+        return f["fns"][T]
+
     def contains_staged(self, st) -> bool:
-        """containsAny with a host-driven early exit across group passes —
-        the analogue of the reference's ``Done True`` fold early exit
+        """containsAny.  With a uniform fused table set: ONE launch answers
+        all G groups (per-segment absorb folds into a sticky hit mask).
+        Otherwise: per-group passes with a host-driven early exit — the
+        analogue of the reference's ``Done True`` fold early exit
         (``AhoCorasick/Searcher.hs:156-164``) at group granularity."""
+        fs = self._fused_sticky_setup()
+        if fs is not None:
+            fn = self._get_fused_contains_fn(st.plan.time_len)
+            d = fs["dev"]
+            out = fn(
+                self._fused_bscal(st), d["gscal"], d["classmap"], d["comb"],
+                d["aux"], d["rootseg"], st.vend_t, st.streams_dev,
+            )
+            out = np.asarray(out)
+            if st.live_np is not None:
+                out = out[st.live_np]
+            return bool(out.any())
         return any(e.contains_staged(st) for e in self.engines)
 
     def contains(self, text: utf8.TextLike) -> bool:

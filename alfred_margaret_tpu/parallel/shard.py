@@ -413,6 +413,8 @@ class DistributedAcEngine:
         unroll = _fit_unroll(8 if rt <= 8 else (4 if rt <= 16 else 2), t_tile)
         C = dict(cst, interpret=self._interpret)
         kernel = _make_c16_contains_kernel_dyn(t_tile, R_local, C, n_tiles, unroll)
+        # n_groups == 1 per shard: the kernel writes the final carried base;
+        # the absorb comparison happens below, outside the pallas_call.
         interp = self._interpret
         n_gscal = stacked["gscal"].shape[1]
 
@@ -441,11 +443,14 @@ class DistributedAcEngine:
                     (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
                 out_shape=jax.ShapeDtypeStruct((R_local, 128), jnp.int32),
-                scratch_shapes=[pltpu.VMEM((R_local, 128), jnp.int32)],
+                scratch_shapes=[
+                    pltpu.VMEM((R_local, 128), jnp.int32),
+                    pltpu.VMEM((R_local, 128), jnp.int32),
+                ],
                 interpret=interp,
             )(
                 bscal,
-                gscal.reshape(n_gscal),
+                gscal.reshape(1, n_gscal),
                 cm[0],
                 comb[0],
                 aux[0],

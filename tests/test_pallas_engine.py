@@ -487,3 +487,23 @@ class TestFusedGroupedCount:
         )
         assert eng.count(hay) == ac.count_matches(m, hay)
         assert eng._fused is None
+
+    def test_fused_contains(self):
+        from alfred_margaret_tpu.ops.grouped import GroupedPallasAcEngine
+
+        m, hay = self._mid()
+        eng = GroupedPallasAcEngine(
+            m, max_rows=5, n_streams=256, t_tile=64, interpret=True, unroll=4
+        )
+        st = eng._stage(hay)
+        eng.count_staged(st)  # engage the fused count setup
+        assert eng._fused_sticky_setup() is not None
+        assert eng.contains_staged(st) is True
+        # miss corpus + a needle sitting only in one group's needle set
+        st_miss = eng._stage(b"ZQ" * 3000)
+        assert eng.contains_staged(st_miss) is False
+        last_needle = m.needles[-1]
+        st_one = eng._stage(b"ZQ" * 100 + last_needle + b"QZ" * 100)
+        assert eng.contains_staged(st_one) is True
+        # parity with the per-group path
+        assert any(e.contains_staged(st_one) for e in eng.engines) is True
