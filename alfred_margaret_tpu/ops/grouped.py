@@ -406,16 +406,25 @@ class GroupedPallasAcEngine:
     def count_staged(self, st, reps: int = 1) -> int:
         f = self._fused_setup()
         if f is not None:
-            fn = self._get_fused_count_fn(st.plan.time_len, reps)
-            d = f["dev"]
-            counts = fn(
-                self._fused_bscal(st), d["gscal"], d["classmap"], d["comb"],
-                d["aux"], d["rootseg"], st.warm_t, st.vend_t, st.streams_dev,
-            )
-            counts = np.asarray(counts, dtype=np.int64)
-            if st.live_np is not None:
-                counts = counts[st.live_np]
-            return int(counts.sum())
+            try:
+                fn = self._get_fused_count_fn(st.plan.time_len, reps)
+                d = f["dev"]
+                counts = fn(
+                    self._fused_bscal(st), d["gscal"], d["classmap"], d["comb"],
+                    d["aux"], d["rootseg"], st.warm_t, st.vend_t, st.streams_dev,
+                )
+                counts = np.asarray(counts, dtype=np.int64)
+                if st.live_np is not None:
+                    counts = counts[st.live_np]
+                return int(counts.sum())
+            except Exception as e:  # pragma: no cover - backend-specific
+                # A Mosaic/backend rejection of the fused kernel must
+                # degrade to the per-group passes, not fail the scan.
+                import warnings
+
+                warnings.warn(f"fused grouped count unavailable ({e}); "
+                              "falling back to per-group passes")
+                self._fused = None
         return sum(e.count_staged(st, reps) for e in self.engines)
 
     def count(self, text: utf8.TextLike) -> int:
@@ -532,16 +541,23 @@ class GroupedPallasAcEngine:
         (``AhoCorasick/Searcher.hs:156-164``) at group granularity."""
         fs = self._fused_sticky_setup()
         if fs is not None:
-            fn = self._get_fused_contains_fn(st.plan.time_len)
-            d = fs["dev"]
-            out = fn(
-                self._fused_bscal(st), d["gscal"], d["classmap"], d["comb"],
-                d["aux"], d["rootseg"], st.vend_t, st.streams_dev,
-            )
-            out = np.asarray(out)
-            if st.live_np is not None:
-                out = out[st.live_np]
-            return bool(out.any())
+            try:
+                fn = self._get_fused_contains_fn(st.plan.time_len)
+                d = fs["dev"]
+                out = fn(
+                    self._fused_bscal(st), d["gscal"], d["classmap"], d["comb"],
+                    d["aux"], d["rootseg"], st.vend_t, st.streams_dev,
+                )
+                out = np.asarray(out)
+                if st.live_np is not None:
+                    out = out[st.live_np]
+                return bool(out.any())
+            except Exception as e:  # pragma: no cover - backend-specific
+                import warnings
+
+                warnings.warn(f"fused grouped contains unavailable ({e}); "
+                              "falling back to per-group passes")
+                self._fused_sticky = None
         return any(e.contains_staged(st) for e in self.engines)
 
     def contains(self, text: utf8.TextLike) -> bool:

@@ -612,9 +612,27 @@ class DistributedAcEngine:
         if staged is None:
             return 0
         step, table_args = self._get_step(staged.plan.time_len, staged.plan.n_streams)
-        return int(
-            np.asarray(step(*table_args, staged.streams_d, staged.warm_d, staged.vend_d))
-        )
+        try:
+            return int(
+                np.asarray(step(*table_args, staged.streams_d, staged.warm_d, staged.vend_d))
+            )
+        except Exception:  # pragma: no cover - backend-specific
+            if getattr(self, "_c16g", None) is None:
+                raise
+            # Mosaic/backend rejection of the comb16 inner: degrade to the
+            # dense per-shard step for good instead of failing the scan.
+            import warnings
+
+            warnings.warn("distributed comb16 inner unavailable; "
+                          "falling back to the dense per-shard kernel")
+            self._c16g = None
+            self._count_step = None
+            step, table_args = self._get_step(
+                staged.plan.time_len, staged.plan.n_streams
+            )
+            return int(
+                np.asarray(step(*table_args, staged.streams_d, staged.warm_d, staged.vend_d))
+            )
 
     def count(self, text) -> int:
         return self.count_staged(self._staged_of(text))
@@ -733,9 +751,22 @@ class DistributedAcEngine:
                 staged.plan.time_len, staged.plan.n_streams
             )
         fn, table_args = self._count_step[key]
-        return int(np.asarray(
-            fn(*table_args, staged.streams_d, staged.warm_d, staged.vend_d)
-        )) > 0
+        try:
+            return int(np.asarray(
+                fn(*table_args, staged.streams_d, staged.warm_d, staged.vend_d)
+            )) > 0
+        except Exception:  # pragma: no cover - backend-specific
+            if getattr(self, "_c16g", None) is None:
+                raise
+            import warnings
+
+            warnings.warn("distributed comb16 sticky inner unavailable; "
+                          "falling back to the dense per-shard kernel")
+            self._c16g = None
+            self._count_step = None
+            if hasattr(self, "_sticky16"):
+                del self._sticky16
+            return self.contains_any(staged)
 
     def contains_staged(self, staged: Optional["StagedMeshCorpus"]) -> bool:
         """Staged-handle alias of :meth:`contains_any` — gives the mesh
