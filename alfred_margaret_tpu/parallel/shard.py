@@ -601,6 +601,8 @@ class DistributedAcEngine:
             warm_d=jax.device_put(warm, spec_vec),
             vend_d=jax.device_put(vend, spec_vec),
             warm_np=warm,
+            vend_np=vend,
+            data_np=data,
         )
 
     def _staged_of(self, text) -> Optional["StagedMeshCorpus"]:
@@ -860,6 +862,155 @@ class DistributedAcEngine:
         fn, table_args = self._count_step[key]
         return np.asarray(fn(*table_args, staged.streams_d))
 
+    def _bits_per_group(self, staged: "StagedMeshCorpus"):
+        """[G, S] per-stream counts and [G, T//32, S] hit bitmaps from ONE
+        mesh scan — 1/32 B of device->host traffic per input byte instead of
+        the states path's 4 B (the mesh analogue of the single-chip
+        match-bitmap compaction, ``ops.pallas_scan.make_matchbits_kernel``).
+        None when the bitmap route is unavailable (non-pallas inner,
+        indivisible tiles, or no host byte copy)."""
+        plan = staged.plan
+        T, S = plan.time_len, plan.n_streams
+        t_tile = 128 if T % 128 == 0 else T
+        if self.inner != "pallas" or t_tile % 32 or staged.data_np is None:
+            return None
+        key = ("bits", T, S)
+        if self._count_step is None:
+            self._count_step = {}
+        if key not in self._count_step:
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+
+            from ..ops import pallas_scan as ps
+
+            mesh, stream_axes = self.mesh, self._stream_axes
+            S_local = S // self.n_stream_shards
+            R_local = S_local // 128
+            n_tiles = T // t_tile
+            rows = self._rows
+            fold, wpairs, interp = self._fold, self._wpairs, self._interpret
+            in_range = self._in_range
+            state_bits = ps._STATE_BITS  # packing=1 stacked tables
+            state_mask = ps._STATE_MASK
+
+            def step_factory(table_refs, R):
+                classmap_ref, table_ref = table_refs
+                cls_rows = ps._broadcast_rows(classmap_ref[:], 2, R)
+                row_bcasts = ps._broadcast_rows(table_ref[:], rows, R)
+                carry0 = jnp.zeros((R, 128), jnp.int32)
+
+                def step(sbase, byte_rc):
+                    cls = ps._class_of(byte_rc, cls_rows, fold, wpairs)
+                    v = ps._lookup_flat(
+                        row_bcasts, sbase + cls, 1, in_range,
+                        wrap=interp and in_range,
+                    )
+                    return v & state_mask, v >> state_bits
+
+                return carry0, step
+
+            kernel = ps.make_matchbits_kernel(t_tile, R_local, step_factory, n_tiles)
+
+            def per_shard(cm, tab, streams, warm, vend):
+                big = jnp.int32(2**31 - 1)
+                nzmin = jnp.min(jnp.where(vend > 0, vend, big))
+                bmin = jnp.where(jnp.any(vend > 0), nzmin, 0)
+                bscal = jnp.stack([warm.max(), bmin]).astype(jnp.int32)
+                counts, bits = pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (t_tile, R_local, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=(
+                        pl.BlockSpec((R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (t_tile // 32, R_local, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ),
+                    out_shape=(
+                        jax.ShapeDtypeStruct((R_local, 128), jnp.int32),
+                        jax.ShapeDtypeStruct((T // 32, R_local, 128), jnp.int32),
+                    ),
+                    scratch_shapes=[
+                        pltpu.VMEM((R_local, 128), jnp.int32),
+                        pltpu.VMEM((R_local, 128), jnp.int32),
+                    ],
+                    interpret=interp,
+                )(
+                    bscal, cm[0], tab[0],
+                    warm.reshape(R_local, 128), vend.reshape(R_local, 128),
+                    streams.reshape(T, R_local, 128),
+                )
+                return counts.reshape(1, S_local), bits.reshape(1, T // 32, S_local)
+
+            fn = jax.jit(
+                jax.shard_map(
+                    per_shard,
+                    mesh=mesh,
+                    in_specs=(P("needle"), P("needle"))
+                    + (P(None, stream_axes), P(stream_axes), P(stream_axes)),
+                    out_specs=(
+                        P("needle", stream_axes),
+                        P("needle", None, stream_axes),
+                    ),
+                    check_vma=False,
+                )
+            )
+            self._count_step[key] = (fn, (self._cms, self._tabs))
+        fn, table_args = self._count_step[key]
+        counts, bits = fn(*table_args, staged.streams_d, staged.warm_d, staged.vend_d)
+        return np.asarray(counts, dtype=np.int64), np.asarray(bits)
+
+    def _hits_per_group(self, staged: "StagedMeshCorpus"):
+        """Per needle group: (global end positions ascending, entered state
+        ids) via the mesh bitmap scan; hit states re-derived exactly from
+        the raw bytes (``ops.pallas_scan.states_at_positions``).  None when
+        the bitmap route is unavailable (callers use the states path)."""
+        got = self._bits_per_group(staged)
+        if got is None:
+            return None
+        counts_np, bits_np = got
+        from ..ops.pallas_scan import states_at_positions
+
+        warm = staged.warm_np.astype(np.int64)
+        vend = staged.vend_np.astype(np.int64)
+        L = staged.plan.emit_len
+        out = []
+        for g, sub in enumerate(self.sub_machines):
+            bits = bits_np[g]
+            w, s = np.nonzero(bits)
+            if len(w) == 0:
+                out.append((np.zeros(0, np.int64), np.zeros(0, np.int64)))
+                continue
+            vals = bits[w, s].astype(np.int64) & 0xFFFFFFFF
+            word_bit = np.nonzero((vals[:, None] >> np.arange(32)[None, :]) & 1)
+            t = w[word_bit[0]] * 32 + word_bit[1]
+            ss = s[word_bit[0]]
+            keep = (t >= warm[ss]) & (t < vend[ss])
+            t, ss = t[keep], ss[keep]
+            pos = ss * L + (t - warm[ss]) + 1
+            states = states_at_positions(sub, staged.data_np, pos)
+            # Conformance: total matches at the hit positions must equal the
+            # kernel's exactly-masked count (a bit can carry several matches
+            # — states with match_count >= 2).
+            got = int(sub.match_count[states].sum())
+            assert got == int(counts_np[g].sum()), (
+                "mesh bitmap/count mismatch", g, got, int(counts_np[g].sum()),
+            )
+            order = np.argsort(pos, kind="stable")
+            out.append((pos[order], states[order].astype(np.int64)))
+        return out
+
     def _assemble_flat(self, staged: "StagedMeshCorpus", states_ts: np.ndarray):
         """Per-position states in corpus order from one group's [T, S]
         time-major array (emission regions re-based by stream offset)."""
@@ -888,17 +1039,23 @@ class DistributedAcEngine:
         same-length needles are byte-identical, hence in one group.
 
         Accepts a raw haystack or a :class:`StagedMeshCorpus` handle."""
+        from ..ops.pallas_scan import _expand_outputs
         from ..ops.xla_scan import extract_matches
 
         staged = self._staged_of(text)
         if staged is None:
             return np.zeros(0, np.int64), np.zeros(0, np.int32)
-        states_g = self._states_per_group(staged)
+        hits = self._hits_per_group(staged)  # bitmap route: 1/32 B per byte
+        states_g = None if hits is not None else self._states_per_group(staged)
         all_ends: List[np.ndarray] = []
         all_vids: List[np.ndarray] = []
         for g, sub in enumerate(self.sub_machines):
-            flat = self._assemble_flat(staged, states_g[g])
-            ends, local_vids = extract_matches(sub, flat)
+            if hits is not None:
+                pos, hstates = hits[g]
+                ends, local_vids = _expand_outputs(sub, pos, hstates)
+            else:
+                flat = self._assemble_flat(staged, states_g[g])
+                ends, local_vids = extract_matches(sub, flat)
             vid_map = np.asarray(self.vid_groups[g], dtype=np.int64)
             all_ends.append(ends)
             all_vids.append(vid_map[local_vids])
@@ -927,11 +1084,16 @@ class DistributedAcEngine:
         staged = self._staged_of(text)
         if staged is None:
             return present
-        states_g = self._states_per_group(staged)
+        hits = self._hits_per_group(staged)
+        states_g = None if hits is not None else self._states_per_group(staged)
         for g, sub in enumerate(self.sub_machines):
-            flat = self._assemble_flat(staged, states_g[g])
+            if hits is not None:
+                hit_states = hits[g][1]
+            else:
+                flat = self._assemble_flat(staged, states_g[g])
+                hit_states = flat[sub.match_count[flat] > 0]
             vid_map = np.asarray(self.vid_groups[g], dtype=np.int64)
-            subp = ac.presence_of_states(sub, flat[sub.match_count[flat] > 0], len(sub.values))
+            subp = ac.presence_of_states(sub, hit_states, len(sub.values))
             present[vid_map[np.flatnonzero(subp)]] = True
         return present
 
@@ -950,6 +1112,10 @@ class StagedMeshCorpus:
     warm_d: Any
     vend_d: Any
     warm_np: np.ndarray
+    #: Host copies for the match-bitmap extraction path (raw bytes for the
+    #: window-DFA state re-derivation; vend for hit filtering).
+    vend_np: np.ndarray = None
+    data_np: np.ndarray = None
 
 
 __all__ = ["DistributedAcEngine", "StagedMeshCorpus", "make_mesh"]
