@@ -739,8 +739,13 @@ def _make_c16_contains_kernel_dyn(T_TILE, R, C, n_tiles, unroll, n_groups=1):
 
     def kernel(
         bscal_ref, gscal_ref, classmap_ref, comb_ref, aux_ref, rootseg_ref,
-        vend_ref, streams_ref, out_ref, cb_scr, hit_scr,
+        vend_ref, streams_ref, out_ref, *scr,
     ):
+        # n_groups == 1 (distributed per-shard): one carry scratch, final
+        # base written out.  n_groups > 1 (fused grouped): a second sticky
+        # hit-mask scratch accumulates per-segment absorb comparisons.
+        cb_scr = scr[0]
+        hit_scr = scr[1] if n_groups > 1 else None
         tile = pl.program_id(0)
         grp = jax.lax.rem(tile // n_tiles, n_groups) if n_groups > 1 else 0
         tmod = jax.lax.rem(tile, n_tiles) if n_groups > 1 else tile
@@ -750,9 +755,11 @@ def _make_c16_contains_kernel_dyn(T_TILE, R, C, n_tiles, unroll, n_groups=1):
         def _init():
             cb_scr[:] = jnp.full((R, 128), gscal_ref[grp, 0], jnp.int32)
 
-        @pl.when(tile == 0)
-        def _init_hits():
-            hit_scr[:] = jnp.zeros((R, 128), jnp.int32)
+        if n_groups > 1:
+
+            @pl.when(tile == 0)
+            def _init_hits():
+                hit_scr[:] = jnp.zeros((R, 128), jnp.int32)
 
         def _blk(ref):
             return ref[0] if len(ref.shape) == 3 else ref[:]
@@ -787,9 +794,11 @@ def _make_c16_contains_kernel_dyn(T_TILE, R, C, n_tiles, unroll, n_groups=1):
         )
         cb_scr[:] = cb
 
-        @pl.when(tmod == n_tiles - 1)
-        def _segment_hit():
-            hit_scr[:] = hit_scr[:] | jnp.where(cb == gscal_ref[grp, 1], 1, 0)
+        if n_groups > 1:
+
+            @pl.when(tmod == n_tiles - 1)
+            def _segment_hit():
+                hit_scr[:] = hit_scr[:] | jnp.where(cb == gscal_ref[grp, 1], 1, 0)
 
         @pl.when(tile == n_grid - 1)
         def _fin():
@@ -1242,11 +1251,37 @@ def build_comb16_uniform(machines, max_rows_total: int = MAX_ROWS):
     )
 
 
+def build_sticky16_uniform(machines, max_rows_total: int = MAX_ROWS):
+    """Uniform comb16 STICKY tables for a list of machines (the shared
+    builder behind the fused grouped containsAny and the distributed sticky
+    inner): each machine's absorbing view is count-quotiented, all views
+    build with one shared field split, and ``gscal`` holds per-group
+    ``(root base, absorb base)`` rows.
+
+    Returns ``(c16s, stacked)`` like :func:`build_comb16_uniform`; raises
+    :class:`CapacityError` when no single split fits every view."""
+    svs = [minimize_sticky(_StickyView(count_minimized(m))) for m in machines]
+    c16s, stacked = build_comb16_uniform(svs, max_rows_total)
+    gscal2 = np.stack(
+        [
+            stacked["gscal"][:, 0],
+            np.asarray(
+                [int(c.base[sv.absorb]) for sv, c in zip(svs, c16s)],
+                dtype=np.int32,
+            ),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    stacked = dict(stacked, gscal=gscal2)
+    return c16s, stacked
+
+
 __all__ = [
     "Comb16Machine",
     "Comb16PallasAcEngine",
     "build_comb16",
     "build_comb16_uniform",
+    "build_sticky16_uniform",
     "comb16_structure_cost",
 ]
 

@@ -417,14 +417,16 @@ class GroupedPallasAcEngine:
                 if st.live_np is not None:
                     counts = counts[st.live_np]
                 return int(counts.sum())
-            except Exception as e:  # pragma: no cover - backend-specific
+            except (RuntimeError, NotImplementedError, ValueError) as e:  # pragma: no cover
                 # A Mosaic/backend rejection of the fused kernel must
                 # degrade to the per-group passes, not fail the scan.
+                # (Narrow except: programming errors still propagate.)
                 import warnings
 
                 warnings.warn(f"fused grouped count unavailable ({e}); "
                               "falling back to per-group passes")
                 self._fused = None
+                self._fused_sticky = None  # _fused_bscal needs _fused
         return sum(e.count_staged(st, reps) for e in self.engines)
 
     def count(self, text: utf8.TextLike) -> int:
@@ -440,29 +442,22 @@ class GroupedPallasAcEngine:
         if getattr(self, "_fused_sticky", False) is False:
             self._fused_sticky = None
             if self._fused_setup() is not None:
-                from ..models.minimize import count_minimized, minimize_sticky
-                from .comb16_scan import build_comb16_uniform
-                from .pallas_scan import _StickyView
+                from .comb16_scan import build_sticky16_uniform
 
                 try:
-                    svs = [
-                        minimize_sticky(_StickyView(count_minimized(e.machine)))
-                        for e in self.engines
-                    ]
-                    c16s, stacked = build_comb16_uniform(svs)
+                    c16s, stacked = build_sticky16_uniform(
+                        [e.machine for e in self.engines]
+                    )
                 except CapacityError:
                     return None
-                # gscal per group: (root base, absorb base).
-                gscal2 = np.stack(
-                    [
-                        stacked["gscal"][:, 0],
-                        np.asarray(
-                            [int(c.base[sv.absorb]) for sv, c in zip(svs, c16s)],
-                            dtype=np.int32,
-                        ),
-                    ],
-                    axis=1,
-                ).astype(np.int32)
+                # Economics guard (mirrors the count fusion's): uniform
+                # (max) rows per group must not outweigh the launch
+                # savings vs per-group sticky passes.
+                cst = stacked["consts"]
+                fused_rows = len(c16s) * (cst["rows_c"] + cst["rows_a"] + 2)
+                per_group = sum(c.rows_c + c.rows_a + 2 for c in c16s)
+                if fused_rows > 1.3 * per_group:
+                    return None
                 self._fused_sticky = dict(
                     stacked=stacked,
                     dev=dict(
@@ -470,7 +465,7 @@ class GroupedPallasAcEngine:
                         comb=jnp.asarray(stacked["comb"]),
                         aux=jnp.asarray(stacked["aux"]),
                         rootseg=jnp.asarray(stacked["rootseg"]),
-                        gscal=jnp.asarray(gscal2),
+                        gscal=jnp.asarray(stacked["gscal"]),
                     ),
                     fns={},
                 )
@@ -552,7 +547,7 @@ class GroupedPallasAcEngine:
                 if st.live_np is not None:
                     out = out[st.live_np]
                 return bool(out.any())
-            except Exception as e:  # pragma: no cover - backend-specific
+            except (RuntimeError, NotImplementedError, ValueError) as e:  # pragma: no cover
                 import warnings
 
                 warnings.warn(f"fused grouped contains unavailable ({e}); "

@@ -1148,6 +1148,46 @@ def states_at_positions(machine, data: np.ndarray, pos: np.ndarray) -> np.ndarra
     return states
 
 
+def expand_hit_bits(t_words, s_idx, wvals, warm, vend, L):
+    """Global end positions from sparse bitmap words: word ``i`` covers
+    time steps ``[32*t_words[i], 32*t_words[i]+32)`` of stream ``s_idx[i]``;
+    bits outside each stream's ``[warm, vend)`` (warm-up duplicates, pad
+    scans) are dropped; positions re-base to corpus coordinates
+    (``s * L + (t - warm) + 1``).  Shared by the single-chip bitmap
+    extraction and the mesh bitmap path (``parallel.shard``)."""
+    word_bit = np.nonzero((wvals[:, None] >> np.arange(32)[None, :]) & 1)
+    t = t_words[word_bit[0]] * 32 + word_bit[1]
+    s = s_idx[word_bit[0]]
+    keep = (t >= warm[s]) & (t < vend[s])
+    t, s = t[keep], s[keep]
+    return s * L + (t - warm[s]) + 1
+
+
+def dense_bits_step_factory(
+    rows, packing, in_range, fold, wpairs, interpret, state_bits, state_mask
+):
+    """Match-bitmap step factory for the dense select-chain table family
+    (used by the single-chip engine and, with packing=1 stacked tables, the
+    mesh bitmap path): per byte, ``carry = packed & state_mask`` and
+    ``cnt = packed >> state_bits``."""
+
+    def step_factory(table_refs, R):
+        classmap_ref, table_ref = table_refs
+        cls_rows = _broadcast_rows(classmap_ref[:], 2, R)
+        row_bcasts = _broadcast_rows(table_ref[:], rows, R)
+        carry0 = jnp.zeros((R, 128), jnp.int32)
+
+        def step(sbase, byte_rc):
+            cls = _class_of(byte_rc, cls_rows, fold, wpairs)
+            v = _lookup_flat(row_bcasts, sbase + cls, packing, in_range,
+                             wrap=interpret and in_range)
+            return v & state_mask, v >> state_bits
+
+        return carry0, step
+
+    return step_factory
+
+
 def _attach_bits_path(cls):
     """Attach the match-bitmap extraction path to PallasAcEngine (defined
     after the class so the module-level kernel helpers exist)."""
@@ -1155,26 +1195,11 @@ def _attach_bits_path(cls):
     def _bits_tables(self):
         """(device table args, their BlockSpecs, step_factory) for the
         match-bitmap kernel — the dense select-chain family."""
-        packing = self.comp.packing
-        in_range = self._in_range
-        state_bits = self.comp.state_bits
-        state_mask = self.comp.state_mask
-        fold, wpairs, interpret = self._fold, self._wpairs, self.interpret
         rows = self.comp.rows
-
-        def step_factory(table_refs, R):
-            classmap_ref, table_ref = table_refs
-            cls_rows = _broadcast_rows(classmap_ref[:], 2, R)
-            row_bcasts = _broadcast_rows(table_ref[:], rows, R)
-            carry0 = jnp.zeros((R, 128), jnp.int32)
-
-            def step(sbase, byte_rc):
-                cls = _class_of(byte_rc, cls_rows, fold, wpairs)
-                v = _lookup_flat(row_bcasts, sbase + cls, packing, in_range,
-                                 wrap=interpret and in_range)
-                return v & state_mask, v >> state_bits
-
-            return carry0, step
+        step_factory = dense_bits_step_factory(
+            rows, self.comp.packing, self._in_range, self._fold, self._wpairs,
+            self.interpret, self.comp.state_bits, self.comp.state_mask,
+        )
 
         from jax.experimental.pallas import tpu as pltpu
         from jax.experimental import pallas as pl
@@ -1281,17 +1306,10 @@ def _attach_bits_path(cls):
             cap = 1 << int(np.ceil(np.log2(n + 1)))
         widx = np.asarray(widx[:n], dtype=np.int64)
         wval = np.asarray(wval[:n], dtype=np.int64) & 0xFFFFFFFF
-        # Expand word bits -> (t, s); filter warm-up overlap + pad bits.
-        tw = widx // S
-        s = widx % S
-        bit = np.nonzero(((wval[:, None] >> np.arange(32)[None, :]) & 1))
-        t = tw[bit[0]] * 32 + bit[1]
-        s = s[bit[0]]
+        # Expand word bits -> positions; filter warm-up overlap + pad bits.
         warm = st.warm_np.astype(np.int64)
         vend = np.asarray(st.vend_t).reshape(-1).astype(np.int64)
-        keep = (t >= warm[s]) & (t < vend[s])
-        t, s = t[keep], s[keep]
-        pos = s * st.plan.emit_len + (t - warm[s]) + 1
+        pos = expand_hit_bits(widx // S, widx % S, wval, warm, vend, st.plan.emit_len)
         states = states_at_positions(self.machine, st.data_np, pos)
         order = np.argsort(pos, kind="stable")
         return pos[order], states[order]

@@ -258,10 +258,12 @@ class DistributedAcEngine:
                     (self._max_entries - 1) * unroll < (1 << ps._STATE_BITS)
                     and self._max_count * unroll < (1 << (31 - ps._STATE_BITS))
                 ),
-                # The pallas inner runs on real TPU only (see __init__), so
-                # the hardware's mod-128 lane indexing makes the raw-entry
-                # state carry safe whenever the table is single-row.
+                # On hardware the mod-128 lane indexing makes the raw-entry
+                # state carry safe whenever the table is single-row; the
+                # interpret flag makes the kernel emulate that wrap in
+                # interpreter-mode tests (clamping would corrupt the carry).
                 nomask=self._in_range,
+                interpret=self._interpret,
                 wpairs=self._wpairs,
             )
 
@@ -354,22 +356,16 @@ class DistributedAcEngine:
         host-side build + device upload shared by every (T, S) step), or
         None when no single field split fits every group's sticky view."""
         if not hasattr(self, "_sticky16"):
-            from ..models.minimize import count_minimized, minimize_sticky
-            from ..ops.comb16_scan import build_comb16_uniform
-            from ..ops.pallas_scan import CapacityError, _StickyView
+            from ..ops.comb16_scan import build_sticky16_uniform
+            from ..ops.pallas_scan import CapacityError
 
             self._sticky16 = None
-            svs = [
-                minimize_sticky(_StickyView(count_minimized(sm)))
-                for sm in self.sub_machines
-            ]
             try:
-                c16s, stacked = build_comb16_uniform(svs)
+                # Shared builder with the fused grouped containsAny: gscal
+                # rows are per-group (root base, absorb base).
+                _, stacked = build_sticky16_uniform(self.sub_machines)
             except CapacityError:
                 return None
-            absorbs = np.zeros((len(c16s), 1), dtype=np.int32)
-            for g, (sv, c) in enumerate(zip(svs, c16s)):
-                absorbs[g, 0] = int(c.base[sv.absorb])
             self._sticky16 = dict(
                 stacked=stacked,
                 args=(
@@ -378,7 +374,6 @@ class DistributedAcEngine:
                     jnp.asarray(stacked["aux"]),
                     jnp.asarray(stacked["rootseg"]),
                     jnp.asarray(stacked["gscal"]),
-                    jnp.asarray(absorbs),
                 ),
             )
         return self._sticky16
@@ -418,7 +413,7 @@ class DistributedAcEngine:
         interp = self._interpret
         n_gscal = stacked["gscal"].shape[1]
 
-        def per_shard(cm, comb, aux, rootseg, gscal, absorb, streams, warm, vend):
+        def per_shard(cm, comb, aux, rootseg, gscal, streams, warm, vend):
             big = jnp.int32(2**31 - 1)
             nzmin = jnp.min(jnp.where(vend > 0, vend, big))
             bmin = jnp.where(jnp.any(vend > 0), nzmin, 0)
@@ -443,10 +438,7 @@ class DistributedAcEngine:
                     (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
                 out_shape=jax.ShapeDtypeStruct((R_local, 128), jnp.int32),
-                scratch_shapes=[
-                    pltpu.VMEM((R_local, 128), jnp.int32),
-                    pltpu.VMEM((R_local, 128), jnp.int32),
-                ],
+                scratch_shapes=[pltpu.VMEM((R_local, 128), jnp.int32)],
                 interpret=interp,
             )(
                 bscal,
@@ -459,13 +451,13 @@ class DistributedAcEngine:
                 streams.reshape(T, R_local, 128),
             )
             live = vend.reshape(R_local, 128) > 0
-            hit = jnp.where(live, out == absorb[0, 0], False)
+            hit = jnp.where(live, out == gscal[0, 1], False)  # absorb base
             return jax.lax.psum(hit.sum().astype(jnp.int32), all_axes)
 
         fn = jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P("needle"),) * 6
+            in_specs=(P("needle"),) * 5
             + (P(None, stream_axes), P(stream_axes), P(stream_axes)),
             out_specs=P(),
             check_vma=False,
@@ -618,7 +610,7 @@ class DistributedAcEngine:
             return int(
                 np.asarray(step(*table_args, staged.streams_d, staged.warm_d, staged.vend_d))
             )
-        except Exception:  # pragma: no cover - backend-specific
+        except (RuntimeError, NotImplementedError, ValueError):  # pragma: no cover
             if getattr(self, "_c16g", None) is None:
                 raise
             # Mosaic/backend rejection of the comb16 inner: degrade to the
@@ -757,7 +749,7 @@ class DistributedAcEngine:
             return int(np.asarray(
                 fn(*table_args, staged.streams_d, staged.warm_d, staged.vend_d)
             )) > 0
-        except Exception:  # pragma: no cover - backend-specific
+        except (RuntimeError, NotImplementedError, ValueError):  # pragma: no cover
             if getattr(self, "_c16g", None) is None:
                 raise
             import warnings
@@ -864,9 +856,10 @@ class DistributedAcEngine:
 
     def _bits_per_group(self, staged: "StagedMeshCorpus"):
         """[G, S] per-stream counts and [G, T//32, S] hit bitmaps from ONE
-        mesh scan — 1/32 B of device->host traffic per input byte instead of
-        the states path's 4 B (the mesh analogue of the single-chip
-        match-bitmap compaction, ``ops.pallas_scan.make_matchbits_kernel``).
+        mesh scan — 1 bit per position (1/8 B per input byte, 1/32 of the
+        states path's 4 B) of device->host traffic (the mesh analogue of the
+        single-chip match-bitmap compaction,
+        ``ops.pallas_scan.make_matchbits_kernel``).
         None when the bitmap route is unavailable (non-pallas inner,
         indivisible tiles, or no host byte copy)."""
         plan = staged.plan
@@ -888,26 +881,11 @@ class DistributedAcEngine:
             R_local = S_local // 128
             n_tiles = T // t_tile
             rows = self._rows
-            fold, wpairs, interp = self._fold, self._wpairs, self._interpret
-            in_range = self._in_range
-            state_bits = ps._STATE_BITS  # packing=1 stacked tables
-            state_mask = ps._STATE_MASK
-
-            def step_factory(table_refs, R):
-                classmap_ref, table_ref = table_refs
-                cls_rows = ps._broadcast_rows(classmap_ref[:], 2, R)
-                row_bcasts = ps._broadcast_rows(table_ref[:], rows, R)
-                carry0 = jnp.zeros((R, 128), jnp.int32)
-
-                def step(sbase, byte_rc):
-                    cls = ps._class_of(byte_rc, cls_rows, fold, wpairs)
-                    v = ps._lookup_flat(
-                        row_bcasts, sbase + cls, 1, in_range,
-                        wrap=interp and in_range,
-                    )
-                    return v & state_mask, v >> state_bits
-
-                return carry0, step
+            interp = self._interpret
+            step_factory = ps.dense_bits_step_factory(
+                rows, 1, self._in_range, self._fold, self._wpairs, interp,
+                ps._STATE_BITS, ps._STATE_MASK,
+            )
 
             kernel = ps.make_matchbits_kernel(t_tile, R_local, step_factory, n_tiles)
 
@@ -951,6 +929,8 @@ class DistributedAcEngine:
                     warm.reshape(R_local, 128), vend.reshape(R_local, 128),
                     streams.reshape(T, R_local, 128),
                 )
+                live = vend.reshape(R_local, 128) > 0
+                counts = jnp.where(live, counts, 0)
                 return counts.reshape(1, S_local), bits.reshape(1, T // 32, S_local)
 
             fn = jax.jit(
@@ -980,7 +960,7 @@ class DistributedAcEngine:
         if got is None:
             return None
         counts_np, bits_np = got
-        from ..ops.pallas_scan import states_at_positions
+        from ..ops.pallas_scan import expand_hit_bits, states_at_positions
 
         warm = staged.warm_np.astype(np.int64)
         vend = staged.vend_np.astype(np.int64)
@@ -993,12 +973,7 @@ class DistributedAcEngine:
                 out.append((np.zeros(0, np.int64), np.zeros(0, np.int64)))
                 continue
             vals = bits[w, s].astype(np.int64) & 0xFFFFFFFF
-            word_bit = np.nonzero((vals[:, None] >> np.arange(32)[None, :]) & 1)
-            t = w[word_bit[0]] * 32 + word_bit[1]
-            ss = s[word_bit[0]]
-            keep = (t >= warm[ss]) & (t < vend[ss])
-            t, ss = t[keep], ss[keep]
-            pos = ss * L + (t - warm[ss]) + 1
+            pos = expand_hit_bits(w, s, vals, warm, vend, L)
             states = states_at_positions(sub, staged.data_np, pos)
             # Conformance: total matches at the hit positions must equal the
             # kernel's exactly-masked count (a bit can carry several matches
@@ -1045,7 +1020,7 @@ class DistributedAcEngine:
         staged = self._staged_of(text)
         if staged is None:
             return np.zeros(0, np.int64), np.zeros(0, np.int32)
-        hits = self._hits_per_group(staged)  # bitmap route: 1/32 B per byte
+        hits = self._hits_per_group(staged)  # bitmap route: 1/8 B per byte
         states_g = None if hits is not None else self._states_per_group(staged)
         all_ends: List[np.ndarray] = []
         all_vids: List[np.ndarray] = []

@@ -20,6 +20,7 @@ from alfred_margaret_tpu.parallel import DistributedAcEngine, make_mesh
 
 t0 = time.time()
 trial = 0
+MESH = make_mesh(jax.devices()[:4], data=2, seq=1, needle=2)
 while True:
     trial += 1
     rng = np.random.default_rng(1000 + trial)
@@ -62,9 +63,10 @@ while True:
     except CapacityError:
         pass
     # distributed xla inner on the virtual mesh
-    mesh = make_mesh(jax.devices()[:4], data=2, seq=1, needle=2)
-    de = DistributedAcEngine(m, mesh, inner="xla")
+    de = DistributedAcEngine(m, MESH, inner="xla")
     got = de.count(hay)
     assert got == expected, (trial, "dist", got, expected)
     if trial % 10 == 0:
         print(f"[soak] {trial} trials OK ({time.time()-t0:.0f}s)", flush=True)
+    if trial % 50 == 0:
+        jax.clear_caches()  # per-trial machines would grow the jit cache unboundedly

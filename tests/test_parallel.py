@@ -238,9 +238,9 @@ def test_comb16_inner_interpret(data, seq, needle):
     assert engine.contains_any(st) is True
     assert engine.contains_any(b"zq" * 500) is False
     # the sticky step also routed through the uniform comb16 kernel
-    # (6 table args: classmap/comb/aux/rootseg/gscal/absorbs; dense has 3)
+    # (5 table args: classmap/comb/aux/rootseg/gscal; dense has 3)
     ckey = [k for k in engine._count_step if isinstance(k, tuple) and k[0] == "contains"]
-    assert ckey and len(engine._count_step[ckey[0]][1]) == 6
+    assert ckey and len(engine._count_step[ckey[0]][1]) == 5
 
 
 def test_comb16_inner_kill_switch(monkeypatch):
@@ -258,3 +258,22 @@ def test_comb16_inner_kill_switch(monkeypatch):
     assert engine._c16g is None
     hay = b"".join(n.encode() for n in needles[:30]) * 5
     assert engine.count(hay) == ac.count_matches(m, hay)
+
+
+def test_bitmap_extraction_nul_needle_padded_streams():
+    """Mesh bitmap path with a non-zero-inert machine (NUL needle) and
+    fully-padded dead streams: dead-stream pad scans must not inflate the
+    kernel counts (they are nulled like the dense count path) and the
+    extracted positions must match the oracle exactly."""
+    m = ac.build([(b"\x00\x00a", 0), (b"ab", 1)])
+    hay = (b"bc\x00\x00add ab " * 12000) + b"ab"  # ~120 KB, several tiles
+    mesh = make_mesh(jax.devices()[:4], data=2, seq=2)
+    engine = DistributedAcEngine(m, mesh, inner="pallas", interpret=True)
+    st = engine.stage(hay)
+    oracle = ac.all_matches(m, hay)
+    assert engine.count(st) == len(oracle)
+    ends, vids = engine.matches_arrays(st)
+    assert len(ends) == len(oracle)
+    assert all(
+        int(e) == o.pos and int(v) == o.value for e, v, o in zip(ends, vids, oracle)
+    )
