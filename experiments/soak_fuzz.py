@@ -66,6 +66,32 @@ while True:
     de = DistributedAcEngine(m, MESH, inner="xla")
     got = de.count(hay)
     assert got == expected, (trial, "dist", got, expected)
+    # IGNORE_CASE searcher round: composed case DFA (when eligible) through
+    # the engine ladder with count minimization, vs the scalar oracle.
+    if trial % 3 == 0:
+        from alfred_margaret_tpu import Searcher, IGNORE_CASE
+        from alfred_margaret_tpu.engine import MatchEngine
+        # dedupe by lowercase: the searcher merges duplicate-needle payloads
+        # (two counts per position) while the mlow oracle below dedups, so
+        # feed both sides the same deduped set.
+        ci_needles = list(dict.fromkeys(
+            n.decode("latin1").lower() for n in needles[:12] if n and b"\x00" not in n))
+        if ci_needles:
+            saved = MatchEngine.AUTO_COMPOSE_BYTES
+            MatchEngine.AUTO_COMPOSE_BYTES = 0  # force composition
+            try:
+                sci = Searcher.build_needle_id_searcher(IGNORE_CASE, ci_needles)
+                hay_ci = hay.decode("latin1").upper().encode("latin1")
+                got_ci = sci.count_matches(hay_ci)
+                # oracle: lower the haystack, count with a CS machine on
+                # lowered needles (simple per-cp lowering == latin1 .lower()
+                # for the ascii alphabet used here)
+                mlow = ac.build([(n.lower().encode("latin1"), i) for i, n in
+                                 enumerate(dict.fromkeys(x.lower() for x in ci_needles))])
+                exp_ci = ac.count_matches(mlow, hay_ci.decode("latin1").lower().encode("latin1"))
+                assert got_ci == exp_ci, (trial, "ignore-case", got_ci, exp_ci)
+            finally:
+                MatchEngine.AUTO_COMPOSE_BYTES = saved
     if trial % 10 == 0:
         print(f"[soak] {trial} trials OK ({time.time()-t0:.0f}s)", flush=True)
     if trial % 50 == 0:
