@@ -66,6 +66,32 @@ while True:
     de = DistributedAcEngine(m, MESH, inner="xla")
     got = de.count(hay)
     assert got == expected, (trial, "dist", got, expected)
+    # streaming chunk-boundary round: small chunks force several boundaries,
+    # exercising the cold-prefix replay subtraction (count) and the
+    # ends > a dedup filter (matches) on every trial shape.
+    if trial % 2 == 0:
+        from alfred_margaret_tpu.ops.pallas_scan import PallasAcEngine
+        from alfred_margaret_tpu.ops.streaming import StreamingScanner
+        try:
+            se = PallasAcEngine(m, n_streams=128, t_tile=16, interpret=True)
+        except CapacityError:
+            se = None
+        if se is not None:
+            # ~4 boundaries per trial: interpret-mode chunk scans are slow,
+            # so keep the chunk count small but the boundary *placement*
+            # random (the | 1 below de-aligns it from needle lengths).
+            chunk = max(4 * max(1, m.max_needle_bytes),
+                        (len(hay) // int(rng.integers(2, 6))) | 1)
+            sc = StreamingScanner(se, m, chunk_bytes=chunk)
+            got_s = sc.count(hay)
+            assert got_s == expected, (trial, "stream-count", chunk, got_s, expected)
+            ends_s, vids_s = sc.matches_arrays(hay)
+            oracle = ac.all_matches(m, hay)
+            assert len(ends_s) == len(oracle) and all(
+                int(e) == o.pos and int(v) == o.value
+                for e, v, o in zip(ends_s, vids_s, oracle)
+            ), (trial, "stream-matches", chunk, len(ends_s), len(oracle))
+            assert sc.contains(hay) == (expected > 0), (trial, "stream-contains")
     # IGNORE_CASE searcher round: composed case DFA (when eligible) through
     # the engine ladder with count minimization, vs the scalar oracle.
     if trial % 3 == 0:
