@@ -411,12 +411,17 @@ class MatchEngine:
             return staged
         data, lt = self._prep(text, case)
         staged = StagedHaystack(case=case, data=data, lowered=lt, owner=self.machine)
-        if self._pick(len(data), staged=True) == "pallas":
+        over_budget = len(data) > 2 * config.DEFAULT.stream_chunk_mb << 20
+        if not over_budget and self._pick(len(data), staged=True) == "pallas":
             eng = self._pallas_engine()
             if hasattr(eng, "stage"):
                 staged.device = eng.stage(data)
             elif hasattr(eng, "_stage"):  # grouped engine
                 staged.device = eng._stage(data)
+        # Over the streaming budget the haystack is NOT resident: scans on
+        # this handle go through the chunked StreamingScanner (constant
+        # device memory) instead of a whole-corpus HBM upload that may not
+        # fit; the case lowering above is still amortized across scans.
         return staged
 
     # -- operations --------------------------------------------------------

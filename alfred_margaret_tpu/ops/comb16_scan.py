@@ -1076,17 +1076,16 @@ class Comb16PallasAcEngine(PallasAcEngine):
             # machine the caller's budget was sized for; its only hard
             # constraint is the kernel's global row capacity.
             c16 = build_comb16(sv, max(self.max_rows, MAX_ROWS))
-            cm256 = np.zeros(256, dtype=np.int32)
-            cm256[: len(c16.classmap)] = c16.classmap
+            fold, wpairs, cm, comb_dev, aux_dev, rootseg_dev = self._make_tables(c16)
             self._contains_state = dict(
                 c16=c16,
-                fold=bool((cm256[127:] == cm256[127]).all()),
-                wpairs=_classmap_wpairs(cm256),
+                fold=fold,
+                wpairs=wpairs,
                 absorb_cb=int(c16.base[sv.absorb]),
-                cm=jnp.asarray(cm256.reshape(2, 128)),
-                comb_dev=jnp.asarray(c16.comb.reshape(c16.rows_c, 128)),
-                aux_dev=jnp.asarray(c16.aux.reshape(c16.rows_a, 128)),
-                rootseg_dev=jnp.asarray(np.stack([c16.root_row, c16.segtable])),
+                cm=cm,
+                comb_dev=comb_dev,
+                aux_dev=aux_dev,
+                rootseg_dev=rootseg_dev,
                 fns={},
             )
         return self._contains_state

@@ -112,11 +112,10 @@ class StreamingScanner:
         eng = self.engine
         for a, b in self._chunks(n):
             st, pre = self._stage_chunk(source, a, b)
-            if hasattr(eng, "matches_arrays_staged"):
-                ends, vids = eng.matches_arrays_staged(st)
-            else:  # grouped engine: per-group extraction + merge inside
-                data = _slice_u8(source, pre, b)
-                ends, vids = eng.matches_arrays(data)
+            # Every staged-capable engine (dense/comb/comb16/grouped/mesh)
+            # exposes matches_arrays_staged; extraction reuses the chunk
+            # upload from _stage_chunk rather than re-staging.
+            ends, vids = eng.matches_arrays_staged(st)
             ends = ends + pre
             keep = ends > a  # drop prefix-region duplicates (ends <= a)
             all_ends.append(ends[keep])

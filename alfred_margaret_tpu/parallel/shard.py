@@ -323,9 +323,15 @@ class DistributedAcEngine:
                 # Null fully-padded streams: interior tiles scan their
                 # zero windows unmasked (cf. ops.pallas_scan).
                 live = vend.reshape(R_local, 128) > 0
-                return jnp.where(live, counts, 0).astype(jnp.int64).sum()
+                return jnp.where(live, counts, 0)
 
             def per_shard(cm, tab, streams, warm, vend):
+                # psum the per-stream int32 counts elementwise and leave the
+                # final reduction to the host (int64 there): a device-side
+                # int32 .sum() overflows past 2^31 shard matches, and
+                # without jax_enable_x64 an astype(int64) silently
+                # truncates back to int32.  Elementwise sums stay tiny
+                # (one stream's matches x n_shards).
                 local = local_counts(cm, tab, streams, warm, vend)
                 return jax.lax.psum(local, all_axes)
 
@@ -334,8 +340,10 @@ class DistributedAcEngine:
         else:
 
             def per_shard(delta, mc, streams, warm, vend):
+                # Per-stream int32 counts, reduced elementwise; host sums in
+                # int64 (see the pallas branch above for the overflow note).
                 counts = local_scan_counts(delta[0], mc[0], streams, warm, vend)
-                return jax.lax.psum(counts.astype(jnp.int64).sum(), all_axes)
+                return jax.lax.psum(counts, all_axes)
 
             table_args = (self._deltas, self._mcs)
             table_specs = (P("needle"), P("needle"))
@@ -536,9 +544,11 @@ class DistributedAcEngine:
                 streams.reshape(T, R_local, 128),
             )
             live = vend.reshape(R_local, 128) > 0
-            return jnp.where(live, counts, 0).astype(jnp.int64).sum()
+            return jnp.where(live, counts, 0)
 
         def per_shard(cm, comb, aux, rootseg, gscal, streams, warm, vend):
+            # Elementwise int32 psum + host int64 reduction (overflow note
+            # in _build_count_step's dense branch).
             local = local_counts(cm, comb, aux, rootseg, gscal, streams, warm, vend)
             return jax.lax.psum(local, all_axes)
 
@@ -607,8 +617,13 @@ class DistributedAcEngine:
             return 0
         step, table_args = self._get_step(staged.plan.time_len, staged.plan.n_streams)
         try:
+            # The step returns psum'd per-stream int32 counts; the exact
+            # total is reduced here in host int64 (device int64 is
+            # unavailable without jax_enable_x64).
             return int(
-                np.asarray(step(*table_args, staged.streams_d, staged.warm_d, staged.vend_d))
+                np.asarray(
+                    step(*table_args, staged.streams_d, staged.warm_d, staged.vend_d)
+                ).sum(dtype=np.int64)
             )
         except (RuntimeError, NotImplementedError, ValueError):  # pragma: no cover
             if getattr(self, "_c16g", None) is None:
@@ -625,7 +640,9 @@ class DistributedAcEngine:
                 staged.plan.time_len, staged.plan.n_streams
             )
             return int(
-                np.asarray(step(*table_args, staged.streams_d, staged.warm_d, staged.vend_d))
+                np.asarray(
+                    step(*table_args, staged.streams_d, staged.warm_d, staged.vend_d)
+                ).sum(dtype=np.int64)
             )
 
     def count(self, text) -> int:

@@ -116,3 +116,30 @@ def test_streaming_over_mesh(tmp_path):
         int(e) == o.pos and int(v) == o.value
         for e, v, o in zip(ends[:2000], vids[:2000], oracle[:2000])
     )
+
+
+def test_stage_over_budget_skips_device_residency(monkeypatch):
+    """A corpus past the out-of-core budget must not be one-shot staged into
+    HBM by Searcher.stage / MatchEngine.stage: the handle keeps the host
+    bytes (lowering amortized) and scans route through the chunked
+    streaming path instead of a whole-corpus device upload."""
+    from alfred_margaret_tpu.engine import MatchEngine
+    from alfred_margaret_tpu.utils import config
+    from alfred_margaret_tpu.utils.case import CASE_SENSITIVE
+
+    needles = ["tshirt", "shirts", "shorts"]
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    corpus = synth_corpus(needles, 3 << 20, hit_fraction=0.01, seed=13)
+
+    import dataclasses
+
+    monkeypatch.setattr(  # budget: 2 MiB (EngineConfig is frozen)
+        config, "DEFAULT", dataclasses.replace(config.DEFAULT, stream_chunk_mb=1)
+    )
+    eng = MatchEngine(m, engine="pallas")
+    staged = eng.stage(corpus, CASE_SENSITIVE)
+    assert staged.device is None  # not HBM-resident
+    # The same handle still scans correctly end-to-end (auto engine picks a
+    # host path on the CPU backend; on TPU it would stream chunk-by-chunk).
+    auto = MatchEngine(m)
+    assert auto.count(staged, CASE_SENSITIVE) == ac.count_matches(m, corpus)
