@@ -1,6 +1,7 @@
 """Round-2 consolidated hardware measurement (run when the relay is up).
 
-1. comb16 count (root32 + nolane variant) vs comb32 — config-2 needles.
+1. comb16 count vs comb32 — config-2 needles (the direct-int32 root row —
+   "root32" — is the production comb16 design being measured here).
 2. Match-bitmap extraction wall time vs count_staged (target <= 2x).
 3. Headline 3-needle dense kernel sanity (should stay ~163 GB/s).
 
