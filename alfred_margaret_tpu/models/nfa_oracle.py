@@ -22,8 +22,9 @@ Aho-Corasick NFA that shares NO code or arrays with ``models.ac`` —
 Emission semantics mirror the reference contract
 (``src/Data/Text/AhoCorasick/Automaton.hs:367-380``): at each end position,
 the entered node's own needles first (longest), then suffix-chain needles in
-decreasing length; duplicate needles emit their payloads in insertion order
-(``Automaton.hs:259-263``).
+decreasing length; duplicate needles emit the later-inserted payload first
+(``Automaton.hs:259-263`` — ``insertWith (++)`` prepends); empty needles
+piggyback on every non-root, code-point-complete state (see ``__init__``).
 
 It is scalar Python (~1-3 MB/s) — use it on slices, as
 ``bench/configs.py`` does for its conformance gates.
@@ -47,11 +48,24 @@ class NfaOracle:
         # exactly at this node (insertion order => payload merge order).
         self._goto: List[dict] = [{}]
         self._out: List[List[int]] = [[]]
+        # Pending continuation bytes at each node (0 <=> the node's path
+        # ends at a code point boundary).  Mid-code-point nodes suppress the
+        # root-inherited empty-needle values — the reference's code-point
+        # automaton emits the piggybacked value once per code point, not
+        # per byte (same rule as ``models/ac.py`` build).
+        self._pending: List[int] = [0]
         for vid, needle in enumerate(needles):
             if len(needle) == 0:
-                # Empty needle: the reference's build drops it from the trie
-                # (it can never match; BoyerMooreSpec documents "no match"
-                # for the empty needle as well).
+                # Empty needle: the reference stores its value at the ROOT
+                # and never collects at the root itself, but buildValueMap's
+                # flattening leaks it into every other state's output set
+                # via the failure chain (``Automaton.hs:367-380``) — so the
+                # empty needle matches at every consumed code point whose
+                # resulting state is non-root.  models/ac.py reproduces
+                # this bit-exactly; the oracle must agree (its round-2
+                # version silently dropped empty needles and raised FALSE
+                # conformance violations on any needle set containing "").
+                self._out[0].insert(0, vid)
                 continue
             node = 0
             for b in needle:
@@ -61,8 +75,16 @@ class NfaOracle:
                     self._goto[node][b] = nxt
                     self._goto.append({})
                     self._out.append([])
+                    self._pending.append(
+                        utf8._LEAD_LEN[b] - 1
+                        if self._pending[node] == 0
+                        else self._pending[node] - 1
+                    )
                 node = nxt
-            self._out[node].append(vid)
+            # Duplicate needles: later-inserted payload FIRST — the
+            # reference's ``insertWith (++)`` prepends (``Automaton.hs:
+            # 259-263``).
+            self._out[node].insert(0, vid)
         # Failure links: classic BFS (child fail = follow parent's fail
         # chain until a goto on the edge byte exists, else root).
         self._fail = [0] * len(self._goto)
@@ -91,23 +113,31 @@ class NfaOracle:
             node = self._fail[node]
 
     def _emit(self, node: int) -> List[int]:
-        """Runtime output collection along the suffix-link chain."""
+        """Runtime output collection along the suffix-link chain, ending at
+        the root's (empty-needle) values — emitted only at non-root,
+        non-mid-code-point nodes, matching the flattened-set semantics the
+        byte-level engines reproduce (``models/ac.py`` module docstring)."""
         out: List[int] = []
         n = node
         while n:
             out.extend(self._out[n])
             n = self._fail[n]
+        if node and self._out[0] and self._pending[node] == 0:
+            out.extend(self._out[0])
         return out
 
     def count(self, haystack: utf8.TextLike) -> int:
         data = utf8.to_bytes(haystack)
         node, total = 0, 0
+        n_empty = len(self._out[0])
         for b in data:
             node = self._step(node, b)
             n = node
             while n:
                 total += len(self._out[n])
                 n = self._fail[n]
+            if node and n_empty and self._pending[node] == 0:
+                total += n_empty
         return total
 
     def all_matches(self, haystack: utf8.TextLike) -> List[Tuple[int, int]]:
@@ -125,8 +155,11 @@ class NfaOracle:
     def contains_any(self, haystack: utf8.TextLike) -> bool:
         data = utf8.to_bytes(haystack)
         node = 0
+        n_empty = len(self._out[0])
         for b in data:
             node = self._step(node, b)
+            if node and n_empty and self._pending[node] == 0:
+                return True
             n = node
             while n:
                 if self._out[n]:
@@ -149,4 +182,32 @@ def cross_check_counts(
         )
 
 
-__all__ = ["NfaOracle", "cross_check_counts"]
+def cross_check_matches(
+    needles: Sequence[utf8.TextLike],
+    haystack: utf8.TextLike,
+    ends,
+    value_ids,
+) -> None:
+    """Assert an engine's full (end, needle id) match list equals the
+    independent NFA's, *including emission order* (end ascending; same-end
+    in state-output order).  Strictly stronger than ``cross_check_counts``
+    — a builder bug that miscounts per-state outputs but preserves totals
+    (or swaps needle identities) is caught here."""
+    want = NfaOracle(needles).all_matches(haystack)
+    got = [(int(e), int(v)) for e, v in zip(ends, value_ids)]
+    if want != got:
+        n = len(want)
+        first_bad = next(
+            (i for i in range(max(n, len(got)))
+             if i >= n or i >= len(got) or want[i] != got[i]),
+            None,
+        )
+        raise AssertionError(
+            f"conformance violation: independent NFA emits {n} matches, "
+            f"engine reported {len(got)}; first divergence at index "
+            f"{first_bad}: want {want[first_bad] if first_bad is not None and first_bad < n else '<none>'}, "
+            f"got {got[first_bad] if first_bad is not None and first_bad < len(got) else '<none>'}"
+        )
+
+
+__all__ = ["NfaOracle", "cross_check_counts", "cross_check_matches"]

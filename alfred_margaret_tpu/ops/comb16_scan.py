@@ -1195,7 +1195,7 @@ class Comb16PallasAcEngine(PallasAcEngine):
         return c16f.inv_base[pk_np & c16f.base_mask]
 
 
-def build_comb16_uniform(machines, max_rows_total: int = MAX_ROWS):
+def build_comb16_uniform(machines, max_rows_total: int = MAX_ROWS, split=None):
     """Comb16 table sets for a list of (needle-group) machines with a
     UNIFORM field split and row counts, stacked for the distributed engine:
 
@@ -1206,19 +1206,27 @@ def build_comb16_uniform(machines, max_rows_total: int = MAX_ROWS):
     Zero row padding is safe: every group's probes stay inside its own
     padded rows (placement bounds ``base + k`` by its row count).
 
+    ``split`` pins one ``(CB, OB, BB)`` instead of the ladder — callers
+    that already partitioned against a forced split (``ops.grouped.
+    partition_uniform16``) pass it to skip re-probing the ladder.
+
     Raises :class:`CapacityError` when no single split fits every group.
     """
-    CB = 1 if any(int(np.asarray(m.match_count).max(initial=0)) > 0 for m in machines) else 0
-    last = None
-    for OB in (5, 4):
-        BB = 16 - CB - OB
-        try:
-            c16s = [build_comb16(m, max_rows_total, split=(CB, OB, BB)) for m in machines]
-            break
-        except CapacityError as e:
-            last = e
+    if split is not None:
+        CB, OB, BB = split
+        c16s = [build_comb16(m, max_rows_total, split=split) for m in machines]
     else:
-        raise last
+        CB = 1 if any(int(np.asarray(m.match_count).max(initial=0)) > 0 for m in machines) else 0
+        last = None
+        for OB in (5, 4):
+            BB = 16 - CB - OB
+            try:
+                c16s = [build_comb16(m, max_rows_total, split=(CB, OB, BB)) for m in machines]
+                break
+            except CapacityError as e:
+                last = e
+        else:
+            raise last
     G = len(c16s)
     rows_c = max(c.rows_c for c in c16s)
     rows_a = max(c.rows_a for c in c16s)

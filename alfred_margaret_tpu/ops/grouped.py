@@ -186,6 +186,113 @@ def partition_adaptive(
     return groups
 
 
+def partition_uniform16(
+    machine: ac.AcMachine, max_rows_total: int = MAX_ROWS
+):
+    """Partition value ids into groups that ALL build comb16 under ONE
+    shared field split — the precondition of the fused single-launch
+    grouped kernels (``_make_c16_count_kernel_dyn``).
+
+    ``partition_adaptive`` sizes groups against the per-group optimum over
+    dense/comb32/comb16 with per-group field splits, which routinely
+    overflows the *uniform* split ``build_comb16_uniform`` needs (the
+    round-2 fused path was dead code on natural needle sets for exactly
+    this reason).  This partitioner instead trial-builds every candidate
+    group with the forced split, so the subsequent uniform build cannot
+    overflow.  Counts and containsAny do not depend on group boundaries
+    (sums/unions over disjoint needle sets), so the fused engine is free to
+    use this partition even when match extraction uses the adaptive one.
+
+    Returns ``(groups, subs, subs_min, split)``: vid groups, each group's
+    machine, its count-minimized quotient (what the fused count kernel
+    scans), and the validated ``(CB, OB, BB)`` split.  Raises
+    :class:`CapacityError` when some needle fits no uniform split alone.
+    """
+    from ..models.minimize import count_minimized
+    from .comb16_scan import build_comb16
+
+    first: dict = {}
+    uniq: List[Tuple[bytes, List[int]]] = []
+    for vid, needle in enumerate(machine.needles):
+        j = first.get(needle)
+        if j is None:
+            first[needle] = len(uniq)
+            uniq.append((needle, [vid]))
+        else:
+            uniq[j][1].append(vid)
+    N = len(uniq)
+
+    cache: dict = {}
+
+    def trial(i: int, g: int, split):
+        """(rows, sub, sub_min) for group [i, i+g) under ``split``, or None."""
+        key = (i, g, split)
+        if key not in cache:
+            pairs = [
+                (machine.needles[v], machine.values[v])
+                for _, vids in uniq[i : i + g]
+                for v in vids
+            ]
+            sub = ac.build(pairs)
+            try:
+                sub_min = count_minimized(sub)
+                c16 = build_comb16(sub_min, max_rows_total, split=split)
+                cache[key] = (c16.rows_c + c16.rows_a + 2, sub, sub_min)
+            except CapacityError:
+                cache[key] = None
+        return cache[key]
+
+    last_err = None
+    for OB in (5, 4):
+        split = (1, OB, 15 - OB)  # CB=1: every group has matching states
+        groups: List[List[int]] = []
+        subs: List[ac.AcMachine] = []
+        subs_min: List[ac.AcMachine] = []
+        i = 0
+        failed = False
+        while i < N:
+            g = min(32, N - i)
+            r = trial(i, g, split)
+            if r is None:
+                g //= 2
+                while g >= 1 and trial(i, g, split) is None:
+                    g //= 2
+                if g == 0:
+                    failed = True
+                    break
+                best_g, best_r = g, trial(i, g, split)
+                best_cpn = best_r[0] / g
+            else:
+                best_g, best_r, best_cpn = g, r, r[0] / g
+                # Same growth policy as partition_adaptive: geometric ladder
+                # while rows-per-needle improves, one midpoint probe.
+                while g < N - i:
+                    g = min(g * 2, N - i)
+                    r = trial(i, g, split)
+                    if r is None:
+                        break
+                    cpn = r[0] / g
+                    if cpn < best_cpn * 0.98:
+                        best_g, best_r, best_cpn = g, r, cpn
+                    else:
+                        break
+                mth = best_g + best_g // 2
+                if mth <= N - i and mth != best_g:
+                    rm = trial(i, mth, split)
+                    if rm is not None and rm[0] / mth < best_cpn:
+                        best_g, best_r = mth, rm
+            groups.append([v for _, vids in uniq[i : i + best_g] for v in vids])
+            subs.append(best_r[1])
+            subs_min.append(best_r[2])
+            i += best_g
+        if not failed:
+            return groups, subs, subs_min, split
+        last_err = CapacityError(
+            f"needle {uniq[i][0]!r} fits no uniform comb16 split alone"
+        )
+    raise last_err
+
+
 class GroupedPallasAcEngine:
     """Multi-pass engine: one Pallas scan per needle group.
 
@@ -298,7 +405,6 @@ class GroupedPallasAcEngine:
         if self._fused is False:
             import os
 
-            from ..models.minimize import count_minimized
             from .comb16_scan import build_comb16_uniform
 
             self._fused = None
@@ -307,16 +413,35 @@ class GroupedPallasAcEngine:
                 and os.environ.get("AMT_FUSED_GROUPS", "1") != "0"
             ):
                 try:
-                    subs = [count_minimized(e.machine) for e in self.engines]
-                    _, stacked = build_comb16_uniform(subs)
+                    # Fused-specific partition: groups sized against the
+                    # FORCED uniform split (the extraction partition in
+                    # self.engines packs to per-group capacity, which a
+                    # uniform split cannot hold — counts don't depend on
+                    # group boundaries, so the partitions may differ).
+                    groups, subs_raw, subs, split = partition_uniform16(
+                        self.machine
+                    )
+                    if len(subs) < 2:
+                        # Whole machine fits one comb16 pass: nothing to
+                        # fuse (and the dispatcher would not group it).
+                        raise CapacityError("single uniform group")
+                    _, stacked = build_comb16_uniform(subs, split=split)
                     cst = stacked["consts"]
                     fused_rows = len(subs) * (cst["rows_c"] + cst["rows_a"] + 2)
-                    # Uniform (max) rows per group must not outweigh the
-                    # launch savings: allow modest inflation only.
-                    if fused_rows <= 1.3 * self.total_rows:
+                    # Economics: each avoided launch is ~30 ms on tunneled
+                    # devices while an extra row costs corpus_bytes/165 GB/s
+                    # per scan, so one-shot scans tolerate sizable row
+                    # inflation; cap it so staged/sustained reuse (where
+                    # launches amortize) is not badly regressed.
+                    if fused_rows <= max(
+                        1.3 * self.total_rows,
+                        self.total_rows + 2 * len(self.engines),
+                    ):
                         self._fused = dict(
                             stacked=stacked,
                             machines=subs,
+                            raw_machines=subs_raw,
+                            G=len(subs),
                             dev=dict(
                                 classmap=jnp.asarray(stacked["classmap"]),
                                 comb=jnp.asarray(stacked["comb"]),
@@ -355,7 +480,7 @@ class GroupedPallasAcEngine:
             e0 = self.engines[0]
             R, t_tile = e0.R, e0.t_tile
             n_tiles = T // t_tile
-            G = len(self.engines)
+            G = f["G"]
             cst = f["stacked"]["consts"]
             rows_c, rows_a = cst["rows_c"], cst["rows_a"]
             from .pallas_scan import _fit_unroll
@@ -445,8 +570,14 @@ class GroupedPallasAcEngine:
                 from .comb16_scan import build_sticky16_uniform
 
                 try:
+                    # Sticky views are built from the fused partition's raw
+                    # group machines (the sticky pipeline does its own
+                    # count-quotient + absorbing minimization; its views are
+                    # never larger than the count quotient, so the groups
+                    # validated by partition_uniform16 fit here too — and a
+                    # rare placement corner still lands in CapacityError).
                     c16s, stacked = build_sticky16_uniform(
-                        [e.machine for e in self.engines]
+                        self._fused["raw_machines"]
                     )
                 except CapacityError:
                     return None
@@ -460,6 +591,7 @@ class GroupedPallasAcEngine:
                     return None
                 self._fused_sticky = dict(
                     stacked=stacked,
+                    G=len(c16s),
                     dev=dict(
                         classmap=jnp.asarray(stacked["classmap"]),
                         comb=jnp.asarray(stacked["comb"]),
@@ -484,7 +616,7 @@ class GroupedPallasAcEngine:
             e0 = self.engines[0]
             R, t_tile = e0.R, e0.t_tile
             n_tiles = T // t_tile
-            G = len(self.engines)
+            G = f["G"]
             cst = f["stacked"]["consts"]
             rows_c, rows_a = cst["rows_c"], cst["rows_a"]
             rt = rows_c + rows_a + 2
@@ -597,4 +729,9 @@ class GroupedPallasAcEngine:
         return present
 
 
-__all__ = ["GroupedPallasAcEngine", "partition_adaptive", "partition_needles"]
+__all__ = [
+    "GroupedPallasAcEngine",
+    "partition_adaptive",
+    "partition_needles",
+    "partition_uniform16",
+]

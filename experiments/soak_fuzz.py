@@ -20,8 +20,12 @@ from alfred_margaret_tpu.parallel import DistributedAcEngine, make_mesh
 
 t0 = time.time()
 trial = 0
+MAX_TRIALS = int(os.environ.get("AMT_SOAK_TRIALS", "0"))  # 0 = forever
 MESH = make_mesh(jax.devices()[:4], data=2, seq=1, needle=2)
 while True:
+    if MAX_TRIALS and trial >= MAX_TRIALS:
+        print(f"[soak] done: {trial} trials OK ({time.time()-t0:.0f}s)", flush=True)
+        break
     trial += 1
     rng = np.random.default_rng(1000 + trial)
     n = int(rng.integers(3, 200))
@@ -33,12 +37,20 @@ while True:
         needles.append(needles[0])  # duplicate
     if rng.random() < 0.15:
         needles.append(b"\x00" + needles[0][:2])  # NUL needle
+    if rng.random() < 0.15:
+        needles.append(b"")  # empty needle: root piggyback quirk
     m = ac.build([(x, i) for i, x in enumerate(needles)])
     frags = [x for x in needles[:15]] + [bytes(rng.integers(alpha_lo, alpha_hi+2, size=9, dtype=np.uint8).tobytes())]
     hay = b"".join(frags[i] for i in rng.integers(0, len(frags), int(rng.integers(50, 900))))
     expected = ac.count_matches(m, hay)
     got_cpp = CppAcEngine(m).count(np.frombuffer(hay, dtype=np.uint8))
     assert got_cpp == expected, (trial, "cpp", got_cpp, expected)
+    # Independent NFA oracle: full (end, id) emission-order parity on a
+    # slice (scalar Python — keep it small), incl. empty-needle trials.
+    from alfred_margaret_tpu.models.nfa_oracle import cross_check_matches
+    sl = hay[:2048]
+    osl = ac.all_matches(m, sl)
+    cross_check_matches(needles, sl, [x.pos for x in osl], [x.value for x in osl])
     # comb16 interpret (single pass) when it fits
     try:
         e16 = Comb16PallasAcEngine(m, n_streams=256, t_tile=64, interpret=True)

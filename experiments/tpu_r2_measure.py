@@ -57,7 +57,10 @@ def main():
     t0 = time.perf_counter(); n1 = eng16.count_staged(st); t_cnt = time.perf_counter() - t0
     t0 = time.perf_counter(); pos, states = eng16.match_positions_staged(st); t_m1 = time.perf_counter() - t0
     t0 = time.perf_counter(); pos, states = eng16.match_positions_staged(st); t_m = min(t_m1, time.perf_counter() - t0)
-    assert len(pos) == expected == n1, (len(pos), expected)
+    # pos has ONE entry per hit position; total matches = sum of the hit
+    # states' output counts (states with match_count > 1 emit several).
+    n_matches = int(m.match_count[states].sum())
+    assert n_matches == expected == n1, (n_matches, expected, n1)
     print(f"bitmap matches: {t_m*1e3:.1f} ms vs count {t_cnt*1e3:.1f} ms "
           f"(ratio {t_m/max(t_cnt,1e-9):.2f}; first-call {t_m1*1e3:.0f} ms)", flush=True)
 

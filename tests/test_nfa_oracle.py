@@ -49,10 +49,31 @@ def test_count_parity_random_pool():
         assert NfaOracle(needles).count(hay) == ac.count_matches(m, hay)
 
 
-def test_empty_needle_never_matches():
-    oracle = NfaOracle(["", "ab"])
-    assert oracle.count("abab") == 2
+def test_empty_needle_piggyback_quirk():
+    # The reference leaks the empty needle's value into every non-root
+    # state's flattened output set (Automaton.hs:367-380); the engines
+    # reproduce it and the oracle must AGREE (round-2's oracle dropped
+    # empty needles and raised false conformance violations).
+    needles = ["", "ab"]
+    oracle = NfaOracle(needles)
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    for hay in ("abab", "xx", "aXab", "bbb"):
+        want = [(x.pos, x.value) for x in ac.all_matches(m, hay)]
+        assert oracle.all_matches(hay) == want, hay
+        assert oracle.count(hay) == len(want)
+    # Never matches where no state ever leaves the root.
     assert oracle.all_matches("xx") == []
+    assert oracle.count("abab") == 6  # 'a':empty, 'ab':ab+empty, twice
+    # Two empty needles: later-inserted payload first (insertWith (++)).
+    o2 = NfaOracle(["", "a", ""])
+    m2 = ac.build([("", 0), ("a", 1), ("", 2)])
+    want2 = [(x.pos, x.value) for x in ac.all_matches(m2, "za")]
+    assert o2.all_matches("za") == want2 == [(2, 1), (2, 2), (2, 0)]
+    # Mid-code-point suppression: empty value fires once per code point.
+    o3 = NfaOracle(["", "é"])
+    m3 = ac.build([("", 0), ("é", 1)])
+    want3 = [(x.pos, x.value) for x in ac.all_matches(m3, "éé")]
+    assert o3.all_matches("éé") == want3
 
 
 def test_contains_any():
