@@ -156,6 +156,23 @@ def load() -> ctypes.CDLL:
             ctypes.c_int64,  # repl_len
             ctypes.c_void_p,  # out
         ]
+        lib.am_splice_mt.restype = ctypes.c_int64
+        lib.am_splice_mt.argtypes = lib.am_splice.argtypes + [
+            ctypes.c_int32,  # n_threads
+        ]
+        lib.am_splice_multi.restype = ctypes.c_int64
+        lib.am_splice_multi.argtypes = [
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,  # n
+            ctypes.c_void_p,  # starts
+            ctypes.c_void_p,  # ends
+            ctypes.c_int64,  # n_sites
+            ctypes.c_void_p,  # repl_blob
+            ctypes.c_void_p,  # repl_off
+            ctypes.c_void_p,  # rid (int32 per-site replacement ids)
+            ctypes.c_void_p,  # out
+            ctypes.c_int32,  # n_threads
+        ]
         lib.am_remove_overlap.restype = ctypes.c_int64
         lib.am_remove_overlap.argtypes = [
             ctypes.c_void_p,  # starts

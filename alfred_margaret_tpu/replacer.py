@@ -318,10 +318,23 @@ class Replacer:
         starts = self._starts_vectorized(data, ends, vids, lenb_of, lencp_of, composed)
         threshold = 1
 
+        # Batched single-splice fast path: when no present replacement can
+        # CREATE a match (its raw bytes are disjoint from every byte any
+        # needle casing can contribute, and it is non-empty), the
+        # sequential pass semantics collapse to per-priority selection over
+        # the ORIGINAL match list followed by ONE multi-replacement splice
+        # — the window rescans and per-pass text materializations vanish.
+        if len(ends) and self._no_creation_eligible(np.unique(vids)):
+            return self._run_batched(
+                data, starts, ends, vids, prios, max_length, min_priority
+            )
+
+        data_bytes = data  # bytes twin of the working buffer (no-copy exits)
+
         while True:
             live = prios < threshold
             if not live.any():
-                return data
+                return data_bytes
             p = int(prios[live].max())
             sel = np.flatnonzero(prios == p)
             payload: Payload = values[int(vids[sel[0]])]
@@ -334,9 +347,9 @@ class Replacer:
                 return None
             # removeOverlap, leftmost-wins (Replacer.hs:191-198).
             k_starts, k_ends = _remove_overlap(starts[sel], ends[sel])
-            new_data = _splice(data, k_starts, k_ends, repl)
+            new_data, data_bytes = _splice_owned(data, k_starts, k_ends, repl)
             if p == min_priority:
-                return new_data
+                return data_bytes
             threshold = p
 
             # -- patch the match list for the next pass --------------------
@@ -375,15 +388,11 @@ class Replacer:
                 n_ends, n_vids = self._scan_windows(scan_machine, new_data, w_b, w_e)
                 n_prios = prio_of[n_vids]
                 if composed:
-                    n_starts = np.fromiter(
-                        (
-                            utf8.skip_code_points_backwards(
-                                new_data, int(e) - 1, int(lencp_of[v]) - 1
-                            )
-                            for e, v in zip(n_ends, n_vids)
-                        ),
-                        np.int64,
-                        len(n_ends),
+                    # Vectorized start recovery (one text canonicalization;
+                    # the per-match skip_code_points_backwards generator
+                    # re-canonicalized the FULL text per match).
+                    n_starts = utf8.raw_match_starts(
+                        new_data, n_ends, lencp_of[n_vids]
                     )
                 else:
                     n_starts = n_ends - lenb_of[n_vids]
@@ -406,6 +415,103 @@ class Replacer:
                     vids, prios = vids[order], prios[order]
             data = new_data
 
+    def _needle_byte_universe(self) -> frozenset:
+        """Every byte that can appear inside a match of this replacer's
+        scan machine: the needles' bytes (CaseSensitive) or the bytes of
+        every case variant of every needle code point (IgnoreCase — the
+        composed DFA transitions on raw bytes of any casing).  Cached."""
+        u = getattr(self, "_byte_universe", None)
+        if u is None:
+            bs = set()
+            ci = self.case_sensitivity is IGNORE_CASE
+            for needle, _ in self.searcher.needles:
+                text = needle.decode("utf-8", "surrogateescape") if isinstance(
+                    needle, bytes
+                ) else needle
+                if not ci:
+                    bs.update(utf8.to_bytes(text))
+                    continue
+                for ch in text:
+                    for v in set(utf8.unlower_code_point(ch)) | {ch}:
+                        bs.update(utf8.unicode2utf8(ord(v)))
+            u = self._byte_universe = frozenset(bs)
+        return u
+
+    def _no_creation_eligible(self, present_vids) -> bool:
+        """True when no present replacement can create a new match: every
+        replacement is non-empty and shares no byte with the needle byte
+        universe (a created match must include >= 1 replacement byte, which
+        the scan machine then cannot step through)."""
+        universe = self._needle_byte_universe()
+        values = self.searcher.automaton.values
+        for v in present_vids:
+            repl = values[int(v)].needle_replacement
+            if len(repl) == 0 or not universe.isdisjoint(repl):
+                return False
+        return True
+
+    def _run_batched(self, data, starts, ends, vids, prios, max_length, min_priority):
+        """Priority passes over the ORIGINAL match list (sound under
+        ``_no_creation_eligible``): per pass, drop matches destroyed by
+        earlier kept sites, leftmost-wins, accumulate; one final
+        multi-replacement splice.  Bit-exact with the sequential loop —
+        every pass's match set in the reference equals the carried
+        original-coordinate set because replacements neither create
+        matches (eligibility) nor move surviving ones (byte content
+        outside replaced ranges is untouched; only offsets shift, and all
+        selection logic here is order/overlap-based)."""
+        values = self.searcher.automaton.values
+        cur_len = len(data)
+        kept_s: List[np.ndarray] = []
+        kept_e: List[np.ndarray] = []
+        kept_r: List[np.ndarray] = []
+        # Merged kept-site intervals, maintained sorted by start.
+        site_s = np.zeros(0, dtype=np.int64)
+        site_e = np.zeros(0, dtype=np.int64)
+        threshold = 1
+        while True:
+            live = prios < threshold
+            if not live.any():
+                break
+            p = int(prios[live].max())
+            sel = np.flatnonzero(prios == p)
+            s_p, e_p = starts[sel], ends[sel]
+            if len(site_s):
+                # Destroyed: intersects an earlier kept site.
+                idx = np.searchsorted(site_e, s_p, side="right")
+                idx_c = np.minimum(idx, len(site_s) - 1)
+                alive = ~((idx < len(site_s)) & (site_s[idx_c] < e_p))
+                s_p, e_p = s_p[alive], e_p[alive]
+            payload: Payload = values[int(vids[sel[0]])]
+            repl_len = len(payload.needle_replacement)
+            if len(s_p) == 0:
+                threshold = p
+                if p == min_priority:
+                    break
+                continue
+            # maxLength estimate over this pass's matches pre-dedup
+            # (Replacer.hs:232-240) against the CURRENT (virtual) length.
+            if cur_len + int(np.sum(repl_len - (e_p - s_p))) > max_length:
+                return None
+            k_s, k_e = _remove_overlap(s_p, e_p)
+            cur_len += len(k_s) * repl_len - int(np.sum(k_e - k_s))
+            kept_s.append(k_s)
+            kept_e.append(k_e)
+            kept_r.append(np.full(len(k_s), int(vids[sel[0]]), dtype=np.int32))
+            site_s, site_e = _merge_sites(site_s, site_e, k_s, k_e)
+            if p == min_priority:
+                break
+            threshold = p
+        if not kept_s:
+            return data if isinstance(data, bytes) else utf8.to_bytes(data)
+        all_s = np.concatenate(kept_s)
+        all_e = np.concatenate(kept_e)
+        all_r = np.concatenate(kept_r)
+        order = np.argsort(all_s, kind="stable")
+        return _splice_multi_bytes(
+            data, all_s[order], all_e[order], all_r[order], values
+        )
+
     @staticmethod
     def _starts_vectorized(data, ends, vids, lenb_of, lencp_of, composed):
         """Match starts for a full match list (one pass over the text)."""
@@ -413,8 +519,10 @@ class Replacer:
             return ends - lenb_of[vids]
         return utf8.raw_match_starts(data, ends, lencp_of[vids])
 
-    def _scan_windows(self, scan_machine, data: bytes, w_b, w_e):
-        """Segmented hit scan over merged windows (native when available)."""
+    def _scan_windows(self, scan_machine, data, w_b, w_e):
+        """Segmented hit scan over merged windows (native when available).
+        ``data`` may be bytes or np.uint8 (the incremental loop's working
+        buffer)."""
         try:
             cpp = self._window_cpp
         except AttributeError:
@@ -426,7 +534,7 @@ class Replacer:
                 cpp = None
             self._window_cpp = cpp
         if cpp is not None:
-            return cpp.segments_matches_arrays(np.frombuffer(data, dtype=np.uint8), w_b, w_e)
+            return cpp.segments_matches_arrays(utf8.to_u8(data), w_b, w_e)
         return _scan_segments_py(scan_machine, data, w_b, w_e)
 
 
@@ -438,6 +546,52 @@ _FALLBACK = object()
 def _native_lib():
     # utf8's loader caches and honors AMT_NO_NATIVE.
     return utf8._native_lib()
+
+
+def _splice_threads() -> int:
+    from .native.cpp_engine import _default_threads
+
+    return _default_threads()
+
+
+def _splice_owned(data, starts: np.ndarray, ends: np.ndarray, replacement: bytes):
+    """Splice straight into a Python ``bytes`` object and return
+    ``(np_view, bytes_obj)`` — the view for further passes, the object for
+    the final return.  The buffer comes from
+    ``PyBytes_FromStringAndSize(NULL, n)`` and is filled by the native
+    threaded memcpy loop BEFORE the object escapes (refcount 1: the
+    standard build-then-expose C-API pattern), so the multi-pass loop never
+    pays a tobytes copy at any exit."""
+    lib = _native_lib()
+    if lib is None or len(starts) == 0:
+        out = _splice_np(data, starts, ends, replacement)
+        b = out.tobytes()
+        return np.frombuffer(b, dtype=np.uint8), b
+    import ctypes
+
+    src = utf8.to_u8(data)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    repl = np.frombuffer(replacement, dtype=np.uint8)
+    out_len = len(src) + len(starts) * len(repl) - int(np.sum(ends - starts))
+    make = ctypes.pythonapi.PyBytes_FromStringAndSize
+    make.restype = ctypes.py_object
+    make.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+    asstr = ctypes.pythonapi.PyBytes_AsString
+    asstr.restype = ctypes.c_void_p
+    asstr.argtypes = [ctypes.py_object]
+    if out_len <= 0:
+        return np.zeros(0, dtype=np.uint8), b""
+    buf = make(None, out_len)
+    wrote = int(
+        lib.am_splice_mt(
+            src.ctypes.data, len(src), starts.ctypes.data, ends.ctypes.data,
+            len(starts), repl.ctypes.data, len(repl), asstr(buf),
+            _splice_threads(),
+        )
+    )
+    assert wrote == out_len, (wrote, out_len)
+    return np.frombuffer(buf, dtype=np.uint8), buf
 
 
 def _remove_overlap(starts: np.ndarray, ends: np.ndarray):
@@ -466,6 +620,62 @@ def _remove_overlap(starts: np.ndarray, ends: np.ndarray):
     return np.asarray(kept_s, dtype=np.int64), np.asarray(kept_e, dtype=np.int64)
 
 
+def _merge_sites(a_s, a_e, b_s, b_e):
+    """Union of two sorted, mutually disjoint interval sets, sorted by
+    start (disjointness makes start order == end order)."""
+    s = np.concatenate([a_s, b_s])
+    e = np.concatenate([a_e, b_e])
+    o = np.argsort(s, kind="stable")
+    return s[o], e[o]
+
+
+def _splice_multi_bytes(data, starts, ends, rids, values) -> bytes:
+    """One splice with a per-site replacement (the batched fast path's
+    final materialization), straight into a Python bytes object."""
+    src = utf8.to_u8(data)
+    uniq, inv = np.unique(rids, return_inverse=True)
+    blobs = [values[int(v)].needle_replacement for v in uniq]
+    off = np.zeros(len(blobs) + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((len(b) for b in blobs), np.int64, len(blobs)), out=off[1:])
+    lens = off[inv + 1] - off[inv]
+    out_len = int(len(src) + lens.sum() - np.sum(ends - starts))
+    lib = _native_lib()
+    if lib is None:
+        parts: List[bytes] = []
+        prev = 0
+        sb = src.tobytes()
+        for s, e, i in zip(starts, ends, inv):
+            parts.append(sb[prev:s])
+            parts.append(blobs[int(i)])
+            prev = int(e)
+        parts.append(sb[prev:])
+        return b"".join(parts)
+    import ctypes
+
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    rid32 = np.ascontiguousarray(inv, dtype=np.int32)
+    blob = np.frombuffer(b"".join(blobs) or b"\x00", dtype=np.uint8)
+    make = ctypes.pythonapi.PyBytes_FromStringAndSize
+    make.restype = ctypes.py_object
+    make.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+    asstr = ctypes.pythonapi.PyBytes_AsString
+    asstr.restype = ctypes.c_void_p
+    asstr.argtypes = [ctypes.py_object]
+    if out_len <= 0:
+        return b""
+    buf = make(None, out_len)
+    wrote = int(
+        lib.am_splice_multi(
+            src.ctypes.data, len(src), starts.ctypes.data, ends.ctypes.data,
+            len(starts), blob.ctypes.data, off.ctypes.data, rid32.ctypes.data,
+            asstr(buf), _splice_threads(),
+        )
+    )
+    assert wrote == out_len, (wrote, out_len)
+    return buf
+
+
 def _merge_windows(begin: np.ndarray, end: np.ndarray):
     """Merge sorted, possibly overlapping [begin, end) windows (vectorized)."""
     hi = np.maximum.accumulate(end)
@@ -489,39 +699,57 @@ def _scan_segments_py(machine, data: bytes, seg_b, seg_e):
     return np.asarray(ends, dtype=np.int64), np.asarray(vids, dtype=np.int64)
 
 
-def _splice(data: bytes, starts: np.ndarray, ends: np.ndarray, replacement: bytes) -> bytes:
+def _splice_np(data, starts: np.ndarray, ends: np.ndarray, replacement: bytes) -> np.ndarray:
     """Replace non-overlapping [start, end) ranges (``replace``,
     ``Replacer.hs:163-180``): one output allocation, native memcpy loop
-    when the helper library is available."""
+    when the helper library is available.  Accepts bytes or np.uint8 and
+    returns np.uint8 WITHOUT a bytes materialization — the incremental
+    multi-pass loop splices several times per run, and a per-pass
+    ``tobytes`` copy was the single largest cost at config-4 densities."""
+    src = utf8.to_u8(data)
+    if len(starts) == 0:
+        return src
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    repl = np.frombuffer(replacement, dtype=np.uint8)
+    out_len = len(src) + len(starts) * len(repl) - int(np.sum(ends - starts))
+    out = np.empty(max(out_len, 1), dtype=np.uint8)
     lib = _native_lib()
-    if lib is not None and len(starts):
-        starts = np.ascontiguousarray(starts, dtype=np.int64)
-        ends = np.ascontiguousarray(ends, dtype=np.int64)
-        src = np.frombuffer(data, dtype=np.uint8)
-        repl = np.frombuffer(replacement, dtype=np.uint8)
-        out_len = len(data) + len(starts) * len(replacement) - int(np.sum(ends - starts))
-        out = np.empty(max(out_len, 1), dtype=np.uint8)
+    if lib is not None:
         wrote = int(
-            lib.am_splice(
+            lib.am_splice_mt(
                 src.ctypes.data,
-                len(data),
+                len(src),
                 starts.ctypes.data,
                 ends.ctypes.data,
                 len(starts),
                 repl.ctypes.data,
-                len(replacement),
+                len(repl),
                 out.ctypes.data,
+                _splice_threads(),
             )
         )
-        return out[:wrote].tobytes()
-    parts: List[bytes] = []
+        return out[:wrote]
+    w = 0
     prev = 0
     for s, e in zip(starts, ends):
-        parts.append(data[prev:s])
-        parts.append(replacement)
-        prev = e
-    parts.append(data[prev:])
-    return b"".join(parts)
+        seg = src[prev:s]
+        out[w : w + len(seg)] = seg
+        w += len(seg)
+        out[w : w + len(repl)] = repl
+        w += len(repl)
+        prev = int(e)
+    seg = src[prev:]
+    out[w : w + len(seg)] = seg
+    return out[: w + len(seg)]
+
+
+def _splice(data: bytes, starts: np.ndarray, ends: np.ndarray, replacement: bytes) -> bytes:
+    """bytes-in/bytes-out wrapper of :func:`_splice_np` (the full-rescan
+    loop's splice; the incremental loop uses the np form directly)."""
+    if len(starts) == 0:
+        return data if isinstance(data, bytes) else utf8.to_bytes(data)
+    return _splice_np(data, starts, ends, replacement).tobytes()
 
 
 __all__ = ["Replacer", "Payload", "MAX_BOUND"]

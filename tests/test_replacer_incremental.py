@@ -115,3 +115,54 @@ class TestEquivalence:
             monkeypatch,
         )
         assert "tshirt" not in out
+
+
+class TestBatchedFastPath:
+    """The batched single-splice path (``_run_batched``): engages only when
+    no replacement can create a match; must be bit-exact with both the
+    window-rescan incremental loop and the full-rescan loop."""
+
+    def test_eligibility(self):
+        import numpy as np
+
+        r = Replacer.build(CASE_SENSITIVE, [("abc", "XY"), ("bd", "Z")])
+        assert r._no_creation_eligible(np.array([0, 1]))
+        # Replacement shares byte 'a' with the needles: can create.
+        r2 = Replacer.build(CASE_SENSITIVE, [("abc", "Xa"), ("bd", "Z")])
+        assert not r2._no_creation_eligible(np.array([0, 1]))
+        # Empty replacement can create matches by joining neighbors.
+        r3 = Replacer.build(CASE_SENSITIVE, [("abc", ""), ("bd", "Z")])
+        assert not r3._no_creation_eligible(np.array([0, 1]))
+        # IgnoreCase: universe includes case-variant bytes ('X' is a
+        # variant of needle byte 'x').
+        r4 = Replacer.build(IGNORE_CASE, [("xy", "X")])
+        assert not r4._no_creation_eligible(np.array([0]))
+        r5 = Replacer.build(IGNORE_CASE, [("xy", "Q9")])
+        assert r5._no_creation_eligible(np.array([0]))
+
+    def test_batched_matches_sequential(self, monkeypatch):
+        # All replacements disjoint from needle bytes: batched path fires
+        # and must equal the full-rescan loop (priority + leftmost rules).
+        out = both_ways(
+            CASE_SENSITIVE,
+            [("aba", "X"), ("ab", "YY"), ("b", "Z")],
+            "abababa b ab aba",
+            monkeypatch,
+        )
+        assert out == "XZX Z YY X".replace("Z", "Z")  # same string both ways
+
+    def test_batched_max_length(self, monkeypatch):
+        monkeypatch.setattr(replacer_mod, "INCREMENTAL", True)
+        r = Replacer.build(CASE_SENSITIVE, [("a", "QQQQ")])
+        assert r.run_with_limit("aaaa", 6) is None
+        assert r.run_with_limit("aaaa", 16) == "QQQQQQQQQQQQQQQQ"
+
+    def test_batched_priority_destruction(self, monkeypatch):
+        # Higher priority consumes the span a lower-priority match needed.
+        out = both_ways(
+            CASE_SENSITIVE,
+            [("abc", "X"), ("cd", "Y")],
+            "abcd cd abc",
+            monkeypatch,
+        )
+        assert out == "Xd Y X"
