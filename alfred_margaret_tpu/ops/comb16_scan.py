@@ -541,7 +541,10 @@ def _lookup16(comb_rows_b, aux_rows_b, root_b, seg_b, cb, cls, C):
     for r, row in enumerate(comb_rows_b):
         cand = jnp.take_along_axis(row, p1, axis=1)
         v1 = cand if v1 is None else jnp.where(h1 == r, cand, v1)
-    e1 = jnp.where((w1 & 1) == 1, v1 >> 16, v1)
+    # Parity extract via a variable shift (0 or 16): one vector shift
+    # replaces the compare+select chain.  Sign garbage above bit 16 is
+    # fine — every downstream field access masks.
+    e1 = v1 >> ((w1 & 1) << 4)
     hit1 = ((e1 >> BB) & OM) == (cb & OM)
     cbv = jnp.take_along_axis(seg_b, cb >> C["seg_shift"], axis=1)
     w2 = cbv + cls
@@ -551,7 +554,7 @@ def _lookup16(comb_rows_b, aux_rows_b, root_b, seg_b, cb, cls, C):
     for r, row in enumerate(aux_rows_b):
         cand = jnp.take_along_axis(row, p2, axis=1)
         v2 = cand if v2 is None else jnp.where(h2 == r, cand, v2)
-    e2 = jnp.where((w2 & 1) == 1, v2 >> 16, v2)
+    e2 = v2 >> ((w2 & 1) << 4)
     hit2 = ((e2 >> BB) & OM) == (cbv & OM)
     er = jnp.take_along_axis(root_b, cls, axis=1)  # direct 32-bit entries
     return jnp.where(hit1, e1, jnp.where(hit2, e2, er))
@@ -1258,17 +1261,27 @@ def build_comb16_uniform(machines, max_rows_total: int = MAX_ROWS, split=None):
     )
 
 
-def build_sticky16_uniform(machines, max_rows_total: int = MAX_ROWS):
+def build_sticky16_uniform(
+    machines, max_rows_total: int = MAX_ROWS, split=None, views=None
+):
     """Uniform comb16 STICKY tables for a list of machines (the shared
     builder behind the fused grouped containsAny and the distributed sticky
     inner): each machine's absorbing view is count-quotiented, all views
     build with one shared field split, and ``gscal`` holds per-group
     ``(root base, absorb base)`` rows.
 
+    ``views`` passes pre-minimized sticky views (skipping the quotient
+    pipeline — ``ops.grouped.partition_uniform16(view="sticky")`` already
+    built them); ``split`` pins the field split it validated.
+
     Returns ``(c16s, stacked)`` like :func:`build_comb16_uniform`; raises
     :class:`CapacityError` when no single split fits every view."""
-    svs = [minimize_sticky(_StickyView(count_minimized(m))) for m in machines]
-    c16s, stacked = build_comb16_uniform(svs, max_rows_total)
+    svs = (
+        views
+        if views is not None
+        else [minimize_sticky(_StickyView(count_minimized(m))) for m in machines]
+    )
+    c16s, stacked = build_comb16_uniform(svs, max_rows_total, split=split)
     gscal2 = np.stack(
         [
             stacked["gscal"][:, 0],

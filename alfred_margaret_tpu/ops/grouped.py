@@ -187,7 +187,7 @@ def partition_adaptive(
 
 
 def partition_uniform16(
-    machine: ac.AcMachine, max_rows_total: int = MAX_ROWS
+    machine: ac.AcMachine, max_rows_total: int = MAX_ROWS, view: str = "count"
 ):
     """Partition value ids into groups that ALL build comb16 under ONE
     shared field split — the precondition of the fused single-launch
@@ -203,13 +203,27 @@ def partition_uniform16(
     (sums/unions over disjoint needle sets), so the fused engine is free to
     use this partition even when match extraction uses the adaptive one.
 
+    ``view`` selects the machine the trial builds (and hence the fused
+    kernel) will scan: ``"count"`` — the count-minimized quotient (fused
+    count); ``"sticky"`` — the absorbing sticky quotient (fused
+    containsAny).  The sticky view's comb structure differs from the count
+    view's, so a partition validated for one can overflow the other —
+    each fused kernel family partitions against its own view.
+
     Returns ``(groups, subs, subs_min, split)``: vid groups, each group's
-    machine, its count-minimized quotient (what the fused count kernel
+    machine, its ``view``-minimized quotient (what the fused kernel
     scans), and the validated ``(CB, OB, BB)`` split.  Raises
     :class:`CapacityError` when some needle fits no uniform split alone.
     """
-    from ..models.minimize import count_minimized
+    from ..models.minimize import count_minimized, minimize_sticky
     from .comb16_scan import build_comb16
+    from .pallas_scan import _StickyView
+
+    def quotient(sub: ac.AcMachine):
+        mmin = count_minimized(sub)
+        if view == "sticky":
+            return minimize_sticky(_StickyView(mmin))
+        return mmin
 
     first: dict = {}
     uniq: List[Tuple[bytes, List[int]]] = []
@@ -235,16 +249,19 @@ def partition_uniform16(
             ]
             sub = ac.build(pairs)
             try:
-                sub_min = count_minimized(sub)
+                sub_min = quotient(sub)
                 c16 = build_comb16(sub_min, max_rows_total, split=split)
                 cache[key] = (c16.rows_c + c16.rows_a + 2, sub, sub_min)
             except CapacityError:
                 cache[key] = None
         return cache[key]
 
+    # Count views carry per-state weights (CB=1); sticky views encode hits
+    # in the absorbing base alone (CB=0, one more base bit).
+    CB = 0 if view == "sticky" else 1
     last_err = None
     for OB in (5, 4):
-        split = (1, OB, 15 - OB)  # CB=1: every group has matching states
+        split = (CB, OB, 16 - CB - OB)
         groups: List[List[int]] = []
         subs: List[ac.AcMachine] = []
         subs_min: List[ac.AcMachine] = []
@@ -312,6 +329,7 @@ class GroupedPallasAcEngine:
         from .comb_scan import make_pallas_engine
 
         self.machine = machine
+        self.max_rows = max_rows
         if partition == "adaptive":
             groups = partition_adaptive(machine, max_rows)
         elif partition == "entry":
@@ -419,13 +437,15 @@ class GroupedPallasAcEngine:
                     # uniform split cannot hold — counts don't depend on
                     # group boundaries, so the partitions may differ).
                     groups, subs_raw, subs, split = partition_uniform16(
-                        self.machine
+                        self.machine, self.max_rows
                     )
                     if len(subs) < 2:
                         # Whole machine fits one comb16 pass: nothing to
                         # fuse (and the dispatcher would not group it).
                         raise CapacityError("single uniform group")
-                    _, stacked = build_comb16_uniform(subs, split=split)
+                    _, stacked = build_comb16_uniform(
+                        subs, self.max_rows, split=split
+                    )
                     cst = stacked["consts"]
                     fused_rows = len(subs) * (cst["rows_c"] + cst["rows_a"] + 2)
                     # Economics: each avoided launch is ~30 ms on tunneled
@@ -570,14 +590,17 @@ class GroupedPallasAcEngine:
                 from .comb16_scan import build_sticky16_uniform
 
                 try:
-                    # Sticky views are built from the fused partition's raw
-                    # group machines (the sticky pipeline does its own
-                    # count-quotient + absorbing minimization; its views are
-                    # never larger than the count quotient, so the groups
-                    # validated by partition_uniform16 fit here too — and a
-                    # rare placement corner still lands in CapacityError).
+                    # The sticky view's comb structure differs from the
+                    # count view's, so the fused containsAny partitions the
+                    # needle set against its OWN view (a count-validated
+                    # partition can overflow the sticky build).
+                    _, _, svs, split = partition_uniform16(
+                        self.machine, self.max_rows, view="sticky"
+                    )
+                    if len(svs) < 2:
+                        raise CapacityError("single uniform sticky group")
                     c16s, stacked = build_sticky16_uniform(
-                        self._fused["raw_machines"]
+                        [], self.max_rows, split=split, views=svs
                     )
                 except CapacityError:
                     return None
