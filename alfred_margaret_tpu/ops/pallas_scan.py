@@ -1131,21 +1131,23 @@ def states_at_positions(machine, data: np.ndarray, pos: np.ndarray) -> np.ndarra
     is at most ``max_needle_bytes`` — so a from-root replay of the last
     ``max_needle_bytes`` bytes lands on the true state (from-start replays
     are trivially exact for shorter prefixes).  Vectorized across positions:
-    W steps of batched delta gathers (W = max needle bytes).
+    W flat-gather steps into the dense delta (W = max needle bytes).
     """
     if len(pos) == 0:
         return np.zeros(0, dtype=np.int64)
     W = max(1, machine.max_needle_bytes)
-    delta = machine.delta
+    flat = machine.delta.reshape(-1)  # view (C-contiguous)
     starts = np.asarray(pos, dtype=np.int64) - W
-    states = np.zeros(len(pos), dtype=np.int64)
+    # int64 flat indices only when the table could overflow int32 space.
+    idt = np.int64 if machine.delta.size > (1 << 31) - 256 else np.int32
+    states = np.zeros(len(pos), dtype=idt)
     for j in range(W):
         idx = starts + j
         valid = idx >= 0
-        b = data[np.where(valid, idx, 0)]
-        nxt = delta[states, b]
-        states = np.where(valid, nxt, states)
-    return states
+        b = data[np.where(valid, idx, 0)].astype(idt)
+        nxt = np.take(flat, states * 256 + b)
+        states = np.where(valid, nxt.astype(idt), states)
+    return states.astype(np.int64)
 
 
 def expand_hit_bits(t_words, s_idx, wvals, warm, vend, L):
@@ -1154,10 +1156,19 @@ def expand_hit_bits(t_words, s_idx, wvals, warm, vend, L):
     bits outside each stream's ``[warm, vend)`` (warm-up duplicates, pad
     scans) are dropped; positions re-base to corpus coordinates
     (``s * L + (t - warm) + 1``).  Shared by the single-chip bitmap
-    extraction and the mesh bitmap path (``parallel.shard``)."""
-    word_bit = np.nonzero((wvals[:, None] >> np.arange(32)[None, :]) & 1)
-    t = t_words[word_bit[0]] * 32 + word_bit[1]
-    s = s_idx[word_bit[0]]
+    extraction and the mesh bitmap path (``parallel.shard``).
+
+    Bit expansion runs through ``np.unpackbits`` on the little-endian byte
+    view (bit ``j`` of a word == bit ``j & 7`` of byte ``j >> 3``) — the
+    (n, 32) broadcast this replaced allocated 32x the words and dominated
+    extraction wall time at high hit density."""
+    if len(wvals) == 0:
+        return np.zeros(0, dtype=np.int64)
+    wbytes = (np.asarray(wvals, dtype=np.int64) & 0xFFFFFFFF).astype("<u4").view(np.uint8)
+    j = np.flatnonzero(np.unpackbits(wbytes, bitorder="little"))
+    wi = j >> 5
+    t = t_words[wi] * 32 + (j & 31)
+    s = s_idx[wi]
     keep = (t >= warm[s]) & (t < vend[s])
     t, s = t[keep], s[keep]
     return s * L + (t - warm[s]) + 1
@@ -1210,8 +1221,13 @@ def _attach_bits_path(cls):
         )
         return (self._classmap_dev, self._table_dev), specs, step_factory
 
-    def _get_bits_fn(self, T: int):
-        key = ("bits", T)
+    def _get_bits_fn(self, T: int, cap: int):
+        """One dispatch: bits kernel + in-jit word compaction.  Returns
+        ``(counts [R,128], ww [2,cap] int32 (word idx; word bits), n)`` — a
+        single device round trip (the relay tunnel charges ~30 ms per
+        dispatch, so the previously separate nonzero launch cost more than
+        the scan itself)."""
+        key = ("bits", T, cap)
         if key not in self._count_fn:
             bt = self._bits_tables()
             if bt is None:
@@ -1228,7 +1244,7 @@ def _attach_bits_path(cls):
             def run(bscal, *args):
                 *tabs, warm, vend, streams_u8 = args
                 streams = streams_u8.reshape(T, R, 128)
-                return pl.pallas_call(
+                counts, bits = pl.pallas_call(
                     kernel,
                     grid=(n_tiles,),
                     in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -1257,6 +1273,12 @@ def _attach_bits_path(cls):
                     ],
                     interpret=self.interpret,
                 )(bscal, *tabs, warm, vend, streams)
+                flat = bits.reshape(-1)
+                nz = flat != 0
+                n = jnp.sum(nz, dtype=jnp.int32)  # TRUE count even past cap
+                (widx,) = jnp.nonzero(nz, size=cap, fill_value=0)
+                ww = jnp.stack([widx.astype(jnp.int32), flat[widx]])
+                return counts, ww, n
 
             self._count_fn[key] = run
         return self._count_fn[key]
@@ -1279,33 +1301,42 @@ def _attach_bits_path(cls):
     def match_positions_staged_bits(self, st):
         """Bitmap-compacted (positions, states): ~1/32 the HBM write traffic
         of the packed-states path; hit states re-derived from the raw bytes
-        (see ``states_at_positions``).  None when unsupported."""
+        (see ``states_at_positions``).  None when unsupported.
+
+        Wall-clock shape on tunneled devices: ONE dispatch (scan + in-jit
+        word nonzero), ONE compacted transfer (8 B per nonzero bitmap
+        word; the capacity doubles and retries on overflow, warm-started
+        from the last observed word count)."""
         if st.data_np is None:
             return None
-        fn = self._get_bits_fn(st.plan.time_len)
-        if fn is None:
-            return None
-        counts, bits = fn(
-            self._bscal_for(st), *self._bits_tables()[0],
-            st.warm_t, st.vend_t, st.streams_dev,
-        )
-        counts_np = np.asarray(counts, dtype=np.int64)
-        if st.live_np is not None:
-            counts_np = counts_np[st.live_np]
-        total = int(counts_np.sum())
-        if total == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.int64)
         S = self.S
         nwords = (st.plan.time_len // 32) * S
-        cap = 1 << int(np.ceil(np.log2(min(total + 64, nwords) + 1)))
+        cap = getattr(self, "_bits_cap_hint", 1 << 14)
+        cap = min(cap, 1 << int(np.ceil(np.log2(nwords + 1))))
         while True:
-            widx, wval, n = self._get_wordnz_fn(nwords, cap)(bits)
-            n = int(n)
+            fn = self._get_bits_fn(st.plan.time_len, cap)
+            if fn is None:
+                return None
+            counts, ww, n_d = fn(
+                self._bscal_for(st), *self._bits_tables()[0],
+                st.warm_t, st.vend_t, st.streams_dev,
+            )
+            n = int(n_d)  # true nonzero-word count, independent of cap
             if n <= cap:
                 break
             cap = 1 << int(np.ceil(np.log2(n + 1)))
-        widx = np.asarray(widx[:n], dtype=np.int64)
-        wval = np.asarray(wval[:n], dtype=np.int64) & 0xFFFFFFFF
+        self._bits_cap_hint = max(
+            1 << 14, 1 << int(np.ceil(np.log2(n + 1)))
+        )
+        if n == 0:
+            counts_np = np.asarray(counts, dtype=np.int64)
+            if st.live_np is not None:
+                counts_np = counts_np[st.live_np]
+            if int(counts_np.sum()) == 0:
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        ww_np = np.asarray(ww)  # single [2, cap] transfer
+        widx = ww_np[0, :n].astype(np.int64)
+        wval = ww_np[1, :n]
         # Expand word bits -> positions; filter warm-up overlap + pad bits.
         warm = st.warm_np.astype(np.int64)
         vend = np.asarray(st.vend_t).reshape(-1).astype(np.int64)
