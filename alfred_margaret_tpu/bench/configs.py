@@ -55,6 +55,15 @@ def main(argv=None) -> int:
     needles3 = ["tshirt", "shirts", "shorts"]
     corpus1 = synth_corpus(needles3, 1 << 20, hit_fraction=0.01, seed=3)
     s3 = Searcher.build(CASE_SENSITIVE, needles3)
+    # Third independent counter (reference protocol: >=3 implementations
+    # agree, benchmark/benchmark.py:65-69): naive bytes.find.
+    from .naive import count_naive
+
+    assert Searcher.build_needle_id_searcher(
+        CASE_SENSITIVE, needles3
+    ).count_matches(corpus1) == count_naive(
+        [n.encode() for n in needles3], corpus1
+    ), "config-1 naive str.find divergence"
     t = _best(lambda: s3.contains_any(corpus1))
     _emit(
         config=1,
@@ -106,6 +115,11 @@ def main(argv=None) -> int:
     head = [(g.pos, g.value) for g in got if g.pos <= len(sl) - 16]
     assert cross[: len(head)] == head, "config-2 independent-NFA mismatch"
     parity += "+nfa-independent"
+    # Naive bytes.find as a third algorithmically distinct counter.
+    assert s100.count_matches(sl) == count_naive(
+        [n.encode() for n in needles100], sl
+    ), "config-2 naive str.find divergence"
+    parity += "+naive"
     t = _best(lambda: s100.count_matches(corpus2), rounds=2)
     # Device-resident (staged) rate: the production serving pattern — the
     # corpus is staged once and scanned repeatedly; one-shot scans pay the
@@ -199,6 +213,10 @@ def main(argv=None) -> int:
     cross_check_counts(
         needles10k, corpus5[: 1 << 18], s10k.count_matches(corpus5[: 1 << 18])
     )
+    assert s10k.count_matches(corpus5[: 1 << 18]) == count_naive(
+        [n.encode() if isinstance(n, str) else n for n in needles10k],
+        corpus5[: 1 << 18],
+    ), "config-5 naive str.find divergence"
     t = _best(lambda: s10k.count_matches(corpus5), rounds=2)
     _emit(
         config=5,
