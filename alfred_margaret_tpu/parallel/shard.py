@@ -53,6 +53,11 @@ def init_distributed(
     No-op when already initialized or on a single process (the common
     single-host case, where the in-process mesh covers all local chips).
     Returns the number of processes.
+
+    CPU smoke-testing note: cross-process collectives on the CPU backend
+    ride gloo (``jax_cpu_collectives_implementation``, default ``gloo``);
+    ``experiments/multiproc_smoke.py`` exercises this whole path — two
+    processes, localhost coordinator, one global mesh, psum count parity.
     """
     if coordinator_address is not None:
         # Explicit coordinator: a failure here means the job is NOT
