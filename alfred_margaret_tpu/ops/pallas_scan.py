@@ -1221,13 +1221,23 @@ def _attach_bits_path(cls):
         )
         return (self._classmap_dev, self._table_dev), specs, step_factory
 
-    def _get_bits_fn(self, T: int, cap: int):
-        """One dispatch: bits kernel + in-jit word compaction.  Returns
-        ``(counts [R,128], ww [2,cap] int32 (word idx; word bits), n)`` — a
-        single device round trip (the relay tunnel charges ~30 ms per
-        dispatch, so the previously separate nonzero launch cost more than
-        the scan itself)."""
-        key = ("bits", T, cap)
+    def _get_bits_fn(self, T: int, cap: int, bcap: int = 1 << 12):
+        """One dispatch: bits kernel + in-jit TWO-LEVEL word compaction.
+        Returns ``(counts [R,128], wwn [2, cap+1] int32)`` where
+        ``wwn[:, :cap]`` is (word idx; word bits) and the last column packs
+        ``(n, nb)`` — the true nonzero-word and touched-block counts — so
+        ONE fetch of ``wwn`` carries data + both retry controls (a measured
+        ``int(n)`` sync costs a full ~30 ms relay round trip on its own).
+
+        Two-level because ``jnp.nonzero`` over the full word array is the
+        real device cost (~40 ms at 4.3M words, measured): block flags
+        (``B=512`` words/block) are nonzero'd first (cheap), only touched
+        blocks gather into a ``[bcap, B]`` arena, and the word-level
+        nonzero runs over that much smaller arena.  ``nb > bcap`` means
+        blocks were dropped — the word data is incomplete and the caller
+        MUST retry with a larger ``bcap`` (``n`` itself is always exact:
+        it reduces over the full array)."""
+        key = ("bits", T, cap, bcap)
         if key not in self._count_fn:
             bt = self._bits_tables()
             if bt is None:
@@ -1274,28 +1284,34 @@ def _attach_bits_path(cls):
                     interpret=self.interpret,
                 )(bscal, *tabs, warm, vend, streams)
                 flat = bits.reshape(-1)
-                nz = flat != 0
-                n = jnp.sum(nz, dtype=jnp.int32)  # TRUE count even past cap
-                (widx,) = jnp.nonzero(nz, size=cap, fill_value=0)
-                ww = jnp.stack([widx.astype(jnp.int32), flat[widx]])
-                return counts, ww, n
+                B = 512
+                pad = (-flat.shape[0]) % B
+                if pad:
+                    flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
+                wb = flat.reshape(-1, B)
+                nblocks = wb.shape[0]
+                touched = jnp.any(wb != 0, axis=1)
+                nb = jnp.sum(touched, dtype=jnp.int32)
+                n = jnp.sum(wb != 0, dtype=jnp.int32)  # exact past any cap
+                # Fill points at an appended all-zero row so untouched
+                # capacity never re-emits block 0's words.
+                (bi,) = jnp.nonzero(touched, size=bcap, fill_value=nblocks)
+                arena = jnp.concatenate([wb, jnp.zeros((1, B), jnp.int32)])[bi]
+                (j,) = jnp.nonzero(arena.reshape(-1) != 0, size=cap, fill_value=0)
+                # Global word index; rows past n hold garbage the caller
+                # slices off (blocks ascend, words ascend within a block,
+                # so the first n entries ascend globally).
+                gi = bi[j // B].astype(jnp.int32) * B + (j % B).astype(jnp.int32)
+                wwn = jnp.concatenate(
+                    [
+                        jnp.stack([gi, arena.reshape(-1)[j]]),
+                        jnp.stack([n, nb]).reshape(2, 1),
+                    ],
+                    axis=1,
+                )
+                return counts, wwn
 
             self._count_fn[key] = run
-        return self._count_fn[key]
-
-    def _get_wordnz_fn(self, nwords: int, cap: int):
-        key = ("wordnz", nwords, cap)
-        if key not in self._count_fn:
-
-            @jax.jit
-            def wz(bits):
-                flat = bits.reshape(-1)
-                nz = flat != 0
-                n = jnp.sum(nz, dtype=jnp.int32)
-                (widx,) = jnp.nonzero(nz, size=cap, fill_value=0)
-                return widx, flat[widx], n
-
-            self._count_fn[key] = wz
         return self._count_fn[key]
 
     def match_positions_staged_bits(self, st):
@@ -1304,39 +1320,42 @@ def _attach_bits_path(cls):
         (see ``states_at_positions``).  None when unsupported.
 
         Wall-clock shape on tunneled devices: ONE dispatch (scan + in-jit
-        word nonzero), ONE compacted transfer (8 B per nonzero bitmap
-        word; the capacity doubles and retries on overflow, warm-started
-        from the last observed word count)."""
+        two-level compaction), ONE fetch of the ``[2, cap+1]`` array whose
+        last column carries the true (word, block) counts; word AND block
+        capacities double independently on overflow, warm-started from the
+        last observed counts."""
         if st.data_np is None:
             return None
         S = self.S
         nwords = (st.plan.time_len // 32) * S
-        cap = getattr(self, "_bits_cap_hint", 1 << 14)
-        cap = min(cap, 1 << int(np.ceil(np.log2(nwords + 1))))
+        _p2 = lambda v: 1 << int(np.ceil(np.log2(v + 1)))
+        cap = min(getattr(self, "_bits_cap_hint", 1 << 14), _p2(nwords))
+        bcap = min(getattr(self, "_bits_bcap_hint", 1 << 12), _p2(nwords // 512))
         while True:
-            fn = self._get_bits_fn(st.plan.time_len, cap)
+            fn = self._get_bits_fn(st.plan.time_len, cap, bcap)
             if fn is None:
                 return None
-            counts, ww, n_d = fn(
+            counts, wwn = fn(
                 self._bscal_for(st), *self._bits_tables()[0],
                 st.warm_t, st.vend_t, st.streams_dev,
             )
-            n = int(n_d)  # true nonzero-word count, independent of cap
-            if n <= cap:
+            wwn_np = np.asarray(wwn)  # the ONE device->host fetch
+            n = int(wwn_np[0, -1])    # true counts, independent of caps
+            nb = int(wwn_np[1, -1])
+            if n <= cap and nb <= bcap:
                 break
-            cap = 1 << int(np.ceil(np.log2(n + 1)))
-        self._bits_cap_hint = max(
-            1 << 14, 1 << int(np.ceil(np.log2(n + 1)))
-        )
+            cap = max(cap, _p2(n))
+            bcap = max(bcap, _p2(nb))
+        self._bits_cap_hint = max(1 << 14, _p2(n))
+        self._bits_bcap_hint = max(1 << 12, _p2(nb))
         if n == 0:
             counts_np = np.asarray(counts, dtype=np.int64)
             if st.live_np is not None:
                 counts_np = counts_np[st.live_np]
             if int(counts_np.sum()) == 0:
                 return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        ww_np = np.asarray(ww)  # single [2, cap] transfer
-        widx = ww_np[0, :n].astype(np.int64)
-        wval = ww_np[1, :n]
+        widx = wwn_np[0, :n].astype(np.int64)
+        wval = wwn_np[1, :n]
         # Expand word bits -> positions; filter warm-up overlap + pad bits.
         warm = st.warm_np.astype(np.int64)
         vend = np.asarray(st.vend_t).reshape(-1).astype(np.int64)
@@ -1347,7 +1366,6 @@ def _attach_bits_path(cls):
 
     cls._bits_tables = _bits_tables
     cls._get_bits_fn = _get_bits_fn
-    cls._get_wordnz_fn = _get_wordnz_fn
     cls.match_positions_staged_bits = match_positions_staged_bits
 
     orig = cls.match_positions_staged

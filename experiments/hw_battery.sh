@@ -46,5 +46,5 @@ run python -m alfred_margaret_tpu.bench.configs
 run env AMT_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q
 run python experiments/tpu_streaming_check.py
 run python experiments/tpu_bits_profile.py
-run python experiments/tpu_bits_profile.py --hit-fraction 0.0003 --size-mb 128
+run python experiments/tpu_bits_profile.py --hit-fraction 0.0003 --size-mb 128 --no-short
 echo "=== battery complete $(date -u +%FT%TZ) ===" | tee -a "$LOG"

@@ -59,25 +59,20 @@ def main(hit_fraction=0.01, size_mb=64, short_needles=True):
     nwords = (st.plan.time_len // 32) * S
     # Probe once with a small cap to learn n, then time at the right cap
     # (the production path does the same via its cap hint).
-    fn0 = eng._get_bits_fn(st.plan.time_len, 1 << 14)
+    fn0 = eng._get_bits_fn(st.plan.time_len, 1 << 14, 1 << 12)
     bits_args = (eng._bscal_for(st), *eng._bits_tables()[0], st.warm_t, st.vend_t, st.streams_dev)
-    _, _, n_d = fn0(*bits_args)
-    n = int(n_d)
+    a0 = np.asarray(fn0(*bits_args)[1])
+    n, nb = int(a0[0, -1]), int(a0[1, -1])
     cap = 1 << int(np.ceil(np.log2(n + 1)))
-    fn = eng._get_bits_fn(st.plan.time_len, cap)
-    def bits_only():
-        counts, ww, n_d = fn(*bits_args)
-        jax.block_until_ready(ww)
-        return counts, ww, n_d
-    t_bits = t(bits_only)
-    counts, ww_d, n_d = fn(*bits_args)
-    print(f"bits+nz dispatch:    {t_bits*1e3:8.1f} ms   (cap={cap} n={n})", flush=True)
-
+    bcap = 1 << int(np.ceil(np.log2(nb + 1)))
+    fn = eng._get_bits_fn(st.plan.time_len, cap, bcap)
+    # NOTE: block_until_ready does NOT wait for compute on the relay —
+    # only a real fetch does, so every timing below fetches.
     t_xfer = t(lambda: np.asarray(fn(*bits_args)[1]))
-    ww = np.asarray(ww_d)
+    ww = np.asarray(fn(*bits_args)[1])
     widx = ww[0, :n].astype(np.int64)
     wval = ww[1, :n]
-    print(f"dispatch+xfer:       {t_xfer*1e3:8.1f} ms   ({2*cap*4/1e6:.1f} MB, one [2,cap] array)", flush=True)
+    print(f"dispatch+fetch:      {t_xfer*1e3:8.1f} ms   (cap={cap} n={n} bcap={bcap} nb={nb}; one [2,cap+1] array)", flush=True)
 
     warm = st.warm_np.astype(np.int64)
     vend = np.asarray(st.vend_t).reshape(-1).astype(np.int64)

@@ -241,6 +241,18 @@ def test_comb16_inner_interpret(data, seq, needle):
     # (5 table args: classmap/comb/aux/rootseg/gscal; dense has 3)
     ckey = [k for k in engine._count_step if isinstance(k, tuple) and k[0] == "contains"]
     assert ckey and len(engine._count_step[ckey[0]][1]) == 5
+    # Position extraction through the SAME comb16-engaged staged handle:
+    # extraction always runs the full-table per-group kernels (comb16
+    # covers count/contains only), so the composition comb16-count +
+    # full-table positions over one handle must agree with the oracle in
+    # full (ends AND needle ids, emission order).
+    ends, vids = engine.matches_arrays_staged(st)
+    oracle = ac.all_matches(m, hay)
+    assert len(ends) == len(oracle)
+    assert all(
+        int(e) == o.pos and int(v) == o.value
+        for e, v, o in zip(ends, vids, oracle)
+    )
 
 
 def test_comb16_inner_kill_switch(monkeypatch):
