@@ -181,13 +181,19 @@ def main(argv=None) -> int:
     fast = Replacer.build(CASE_SENSITIVE, pairs).run(corpus4)
     oracle = Replacer.build(CASE_SENSITIVE, pairs, engine="python").run(corpus4)
     assert fast == oracle
-    t = _best(lambda: Replacer.build(CASE_SENSITIVE, pairs).run(corpus4), rounds=2)
+    t = _best(lambda: Replacer.build(CASE_SENSITIVE, pairs).run(corpus4), rounds=4)
+    # Bytes input is the reference-faithful shape (Text IS raw UTF-8 bytes,
+    # Utf8.hs:17-19): no encode/decode passes, which on this VM page-fault
+    # fresh 4 MB buffers at wildly time-varying cost.
+    corpus4_b = corpus4.encode()
+    t_b = _best(lambda: Replacer.build(CASE_SENSITIVE, pairs).run(corpus4_b), rounds=4)
     _emit(
         config=4,
         op="Replacer.run",
         bytes=len(corpus4),
         seconds=round(t, 4),
         mb_per_sec=round(len(corpus4) / t / 1e6, 1),
+        bytes_in_mb_per_sec=round(len(corpus4_b) / t_b / 1e6, 1),
         parity="oracle-bit-exact",
     )
 

@@ -1237,7 +1237,7 @@ def _attach_bits_path(cls):
         blocks were dropped — the word data is incomplete and the caller
         MUST retry with a larger ``bcap`` (``n`` itself is always exact:
         it reduces over the full array)."""
-        key = ("bits", T, cap, bcap)
+        key = ("bits", T, cap, bcap, getattr(self, "_bits_block", 512))
         if key not in self._count_fn:
             bt = self._bits_tables()
             if bt is None:
@@ -1284,29 +1284,37 @@ def _attach_bits_path(cls):
                     interpret=self.interpret,
                 )(bscal, *tabs, warm, vend, streams)
                 flat = bits.reshape(-1)
-                B = 512
+                B = getattr(self, "_bits_block", 512)  # test hook: force the
+                # two-level branch on small corpora by shrinking the block
                 pad = (-flat.shape[0]) % B
                 if pad:
                     flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
                 wb = flat.reshape(-1, B)
                 nblocks = wb.shape[0]
-                touched = jnp.any(wb != 0, axis=1)
-                nb = jnp.sum(touched, dtype=jnp.int32)
-                n = jnp.sum(wb != 0, dtype=jnp.int32)  # exact past any cap
-                # Fill points at an appended all-zero row so untouched
-                # capacity never re-emits block 0's words.
-                (bi,) = jnp.nonzero(touched, size=bcap, fill_value=nblocks)
-                arena = jnp.concatenate([wb, jnp.zeros((1, B), jnp.int32)])[bi]
-                (j,) = jnp.nonzero(arena.reshape(-1) != 0, size=cap, fill_value=0)
-                # Global word index; rows past n hold garbage the caller
-                # slices off (blocks ascend, words ascend within a block,
-                # so the first n entries ascend globally).
-                gi = bi[j // B].astype(jnp.int32) * B + (j % B).astype(jnp.int32)
+                nz = wb != 0
+                n = jnp.sum(nz, dtype=jnp.int32)  # exact past any cap
+                if bcap >= nblocks:
+                    # Hit-dense degenerate case: the block gather would copy
+                    # the whole array — single-level nonzero is cheaper.
+                    nb = jnp.int32(0)
+                    (gi,) = jnp.nonzero(flat != 0, size=cap, fill_value=0)
+                    gi = gi.astype(jnp.int32)
+                    vals = flat[gi]
+                else:
+                    touched = jnp.any(nz, axis=1)
+                    nb = jnp.sum(touched, dtype=jnp.int32)
+                    # Fill points at an appended all-zero row so untouched
+                    # capacity never re-emits block 0's words.
+                    (bi,) = jnp.nonzero(touched, size=bcap, fill_value=nblocks)
+                    arena = jnp.concatenate([wb, jnp.zeros((1, B), jnp.int32)])[bi]
+                    (j,) = jnp.nonzero(arena.reshape(-1) != 0, size=cap, fill_value=0)
+                    # Global word index; rows past n hold garbage the caller
+                    # slices off (blocks ascend, words ascend within a
+                    # block, so the first n entries ascend globally).
+                    gi = bi[j // B].astype(jnp.int32) * B + (j % B).astype(jnp.int32)
+                    vals = arena.reshape(-1)[j]
                 wwn = jnp.concatenate(
-                    [
-                        jnp.stack([gi, arena.reshape(-1)[j]]),
-                        jnp.stack([n, nb]).reshape(2, 1),
-                    ],
+                    [jnp.stack([gi, vals]), jnp.stack([n, nb]).reshape(2, 1)],
                     axis=1,
                 )
                 return counts, wwn
@@ -1328,9 +1336,19 @@ def _attach_bits_path(cls):
             return None
         S = self.S
         nwords = (st.plan.time_len // 32) * S
-        _p2 = lambda v: 1 << int(np.ceil(np.log2(v + 1)))
+        # Capacity rounding: power-of-2 up to 64Ki, then 64Ki multiples —
+        # the fetched array is cap-padded, and the tunnel download is the
+        # dense-hit bottleneck (a 2^21 cap for n=1.23M words shipped 41%
+        # padding; 64Ki quantization caps waste at ~5%).
+        def _p2(v):
+            v = int(v) + 1
+            if v <= (1 << 16):
+                return 1 << int(np.ceil(np.log2(v)))
+            return -(-v // (1 << 16)) * (1 << 16)
+
         cap = min(getattr(self, "_bits_cap_hint", 1 << 14), _p2(nwords))
-        bcap = min(getattr(self, "_bits_bcap_hint", 1 << 12), _p2(nwords // 512))
+        blk = getattr(self, "_bits_block", 512)
+        bcap = min(getattr(self, "_bits_bcap_hint", 1 << 12), _p2(nwords // blk))
         while True:
             fn = self._get_bits_fn(st.plan.time_len, cap, bcap)
             if fn is None:

@@ -130,6 +130,33 @@ while True:
                 assert got_ci == exp_ci, (trial, "ignore-case", got_ci, exp_ci)
             finally:
                 MatchEngine.AUTO_COMPOSE_BYTES = saved
+    # Replacer round: incremental loop (incl. the batched no-interaction
+    # fast path when it engages) vs the full-rescan loop, bit-exact.
+    if trial % 4 == 1:
+        from alfred_margaret_tpu import CASE_SENSITIVE, Replacer
+        from alfred_margaret_tpu import replacer as replacer_mod
+
+        r_needles = [n.decode("latin1") for n in dict.fromkeys(needles[:6]) if n]
+        if r_needles:
+            # Half the trials draw replacements byte-disjoint from the
+            # needle alphabet (forces _run_batched eligibility); the rest
+            # share bytes (forces the window-rescan loop).
+            rep_alpha = "XYZ" if rng.random() < 0.5 else "Xa"
+            pairs = [
+                (x, "".join(rng.choice(list(rep_alpha))
+                            for _ in range(int(rng.integers(0, 4)))))
+                for x in r_needles
+            ]
+            hay_r = hay.decode("latin1")[:4000]
+            saved_inc = replacer_mod.INCREMENTAL
+            try:
+                replacer_mod.INCREMENTAL = True
+                got_r = Replacer.build(CASE_SENSITIVE, pairs).run(hay_r)
+                replacer_mod.INCREMENTAL = False
+                exp_r = Replacer.build(CASE_SENSITIVE, pairs).run(hay_r)
+            finally:
+                replacer_mod.INCREMENTAL = saved_inc
+            assert got_r == exp_r, (trial, "replacer", pairs, hay_r[:60])
     if trial % 10 == 0:
         print(f"[soak] {trial} trials OK ({time.time()-t0:.0f}s)", flush=True)
     if trial % 50 == 0:

@@ -22,7 +22,12 @@ from alfred_margaret_tpu.bench.dataformat import synth_corpus
 MB = 1 << 20
 
 
-def slope(fn_reps, n_bytes, r1=2, r2=34, rounds=5):
+def slope(fn_reps, n_bytes, r1=2, r2=66, rounds=7):
+    """Rate from the rep-count slope.  The relay RTT jitters by ~10 ms
+    between synced dispatches, so the slope denominator (r2-r1 reps of
+    device work) must dwarf it — r2=34 measurably produced NEGATIVE dense
+    slopes (device work per rep ~0.4 ms); r2=66 puts >=25 ms of real work
+    between the two points for every kernel family measured here."""
     fn_reps(1)  # compile + warm
     fn_reps(r1)
     fn_reps(r2)
@@ -78,7 +83,8 @@ def main():
     st3 = e3.stage(d3)
     exp3 = cpp_engine.CppAcEngine(m3).count(d3)
     assert e3.count_staged(st3) == exp3
-    print(f"dense 3-needle: {slope(lambda r: e3.count_staged(st3, r), len(d3)):.1f} GB/s", flush=True)
+    # Dense is ~0.4 ms/rep at 64 MiB: needs the widest rep spread of all.
+    print(f"dense 3-needle: {slope(lambda r: e3.count_staged(st3, r), len(d3), r2=258):.1f} GB/s", flush=True)
 
     # Sticky contains on the config-2 machine (count-minimized sticky view).
     eng16.contains_staged(st)

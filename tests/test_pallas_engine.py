@@ -274,6 +274,28 @@ class TestDeviceExtraction:
         ends, vids = eng.matches_arrays(b"abcabc" * 100)
         assert len(ends) == 0
 
+    def test_bits_compaction_branches(self):
+        """Both in-jit compaction branches of the bitmap path must be exact:
+        the single-level (hit-dense/degenerate, bcap >= nblocks) branch and
+        the two-level block-arena branch (forced here via the small test
+        block), each through capacity-overflow retries."""
+        from alfred_margaret_tpu.ops.xla_scan import expand_hits
+
+        rng = np.random.default_rng(5)
+        needles = ["ab", "abc", "bc", "c", "cab"]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        hay = bytes(rng.choice([97, 98, 99, 100], size=20000).astype(np.uint8))
+        oracle = [(mt.pos, mt.value) for mt in ac.all_matches(m, hay)]
+        for block in (512, 8):  # 512 => degenerate branch at this size
+            eng = PallasAcEngine(m, n_streams=256, t_tile=64, interpret=True, unroll=4)
+            eng._bits_block = block
+            eng._bits_bcap_hint = 4
+            eng._bits_cap_hint = 16
+            st = eng.stage(np.frombuffer(hay, dtype=np.uint8))
+            pos, states = eng.match_positions_staged_bits(st)
+            ends, vids = expand_hits(m, pos, states)
+            assert [(int(e), int(v)) for e, v in zip(ends, vids)] == oracle, block
+
 
 class TestCombEngine:
     """Row-displacement comb engine (ops.comb_scan): build verification is
