@@ -50,6 +50,39 @@ int32_t am_scan_states(const int32_t* delta, int32_t n_states,
   return state;
 }
 
+// State at each of n_pos byte positions, re-derived by a from-root replay
+// of the preceding W bytes (the DFA synchronization property: any failure
+// chain is at most max_needle_bytes deep, so W = max_needle_bytes suffices
+// — ops/pallas_scan.states_at_positions documents the argument).  pos
+// holds indices one past the byte whose post-state is wanted, ascending or
+// not; positions are independent, so threads split them evenly.
+void am_states_at(const int32_t* delta, const uint8_t* data, int64_t n,
+                  const int64_t* pos, int64_t n_pos, int32_t w,
+                  int32_t* out_states, int32_t n_threads) {
+  auto work = [&](int64_t i0, int64_t i1) {
+    for (int64_t i = i0; i < i1; i++) {
+      int64_t p = pos[i];
+      int64_t a = p - w;
+      if (a < 0) a = 0;
+      int32_t state = 0;
+      for (int64_t j = a; j < p && j < n; j++)
+        state = delta[(int64_t)state * 256 + data[j]];
+      out_states[i] = state;
+    }
+  };
+  if (n_threads <= 1 || n_pos < (int64_t)n_threads * 4096) {
+    work(0, n_pos);
+    return;
+  }
+  int64_t chunk = (n_pos + n_threads - 1) / n_threads;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    int64_t i0 = (int64_t)t * chunk;
+    threads.emplace_back(work, i0, std::min(n_pos, i0 + chunk));
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C" (template helper below needs C++ linkage)
 
 static constexpr int kInterleave = 8;

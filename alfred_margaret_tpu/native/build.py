@@ -78,6 +78,17 @@ def load() -> ctypes.CDLL:
             ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.am_states_at.restype = None
+        lib.am_states_at.argtypes = [
+            ctypes.c_void_p,  # delta
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,   # n
+            ctypes.c_void_p,  # pos (int64)
+            ctypes.c_int64,   # n_pos
+            ctypes.c_int32,   # w
+            ctypes.c_void_p,  # out_states (int32)
+            ctypes.c_int32,   # n_threads
+        ]
         lib.am_scan_count_mt.restype = ctypes.c_int64
         lib.am_scan_count_mt.argtypes = [
             ctypes.c_void_p,

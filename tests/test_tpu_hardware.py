@@ -97,3 +97,33 @@ def test_match_extraction_hw(setup100):
         int(e) == o.pos and int(v) == o.value
         for e, v, o in zip(ends[:3000], vids[:3000], oracle[:3000])
     )
+
+
+def test_fused_grouped_hw():
+    """Fused single-launch grouped count + containsAny on a natural
+    400-needle set: the partition must produce >= 2 uniform groups, the
+    fused kernels must compile on real Mosaic (not just interpret mode),
+    and counts must match the scalar oracle exactly."""
+    _require_tpu()
+    import random
+
+    from alfred_margaret_tpu.models import ac
+    from alfred_margaret_tpu.ops.grouped import GroupedPallasAcEngine
+
+    random.seed(400)
+    needles = sorted(
+        {
+            "".join(random.choices("abcdefghijklmnop", k=random.randint(4, 14)))
+            for _ in range(400)
+        }
+    )
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    hay = (
+        "".join(random.choices("abcdefghijklmnop ", k=1 << 19)) + needles[3] + needles[7]
+    ).encode()
+    expected = ac.count_matches(m, hay)
+    eng = GroupedPallasAcEngine(m)
+    assert eng._fused_setup() is not None, "fused count did not engage"
+    assert eng.count(hay) == expected
+    assert eng._fused_sticky_setup() is not None, "fused sticky did not engage"
+    assert eng.contains(hay) == (expected > 0)
