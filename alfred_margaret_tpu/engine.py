@@ -424,6 +424,65 @@ class MatchEngine:
         # fit; the case lowering above is still amortized across scans.
         return staged
 
+    def adopt_staged(
+        self, st: "StagedHaystack", case: CaseSensitivity
+    ) -> "StagedHaystack":
+        """Rebind another searcher's staged haystack to THIS engine — the
+        live needle-set-swap path: the corpus's device streams (and, for
+        IgnoreCase, its host lowering) are reused instead of re-paying the
+        host->device transfer and the lowering pass.  The stream layout is
+        machine-independent; per-machine boundary scalars re-derive on the
+        fly (``ops.pallas_scan.PallasAcEngine.adopt_staged`` validates the
+        layout/overlap and the grouped passes already rely on the same
+        argument).  Falls back to restaging the device streams from the
+        staged bytes when the layouts are incompatible (still skips any
+        lowering).  Raises ValueError only for the one impossible
+        direction: a lowered (non-composed IgnoreCase) staging cannot feed
+        an engine that scans raw bytes, because the raw bytes are gone.
+        """
+        ci = self._composed(case)
+        if ci is not None:
+            # Composed-CI scans RAW bytes: adoptable from any raw staging
+            # (CaseSensitive or composed).
+            if st.case is CASE_SENSITIVE or st.composed:
+                new = ci.adopt_staged(st, CASE_SENSITIVE)
+                new.case = case
+                new.composed = True
+                return new
+            raise ValueError(
+                "cannot adopt a lowered (non-composed IgnoreCase) staging "
+                "into a composed-CI searcher: the raw bytes are not retained"
+            )
+        need_lowered = case is IGNORE_CASE
+        have_lowered = st.case is IGNORE_CASE and not st.composed
+        if need_lowered != have_lowered:
+            if need_lowered and not have_lowered:
+                # Raw staging -> lowering engine: lower the raw bytes (the
+                # device streams hold raw bytes and cannot be reused).
+                return self.stage(st.data, case)
+            raise ValueError(
+                "cannot adopt a lowered staging into a CaseSensitive "
+                "searcher: the raw bytes are not retained"
+            )
+        new = StagedHaystack(
+            case=case, data=st.data, lowered=st.lowered, owner=self.machine
+        )
+        over_budget = len(st.data) > 2 * config.DEFAULT.stream_chunk_mb << 20
+        if not over_budget and self._pick(len(st.data), staged=True) == "pallas":
+            eng = self._pallas_engine()
+            adopted = (
+                eng.adopt_staged(st.device)
+                if hasattr(eng, "adopt_staged")
+                else None
+            )
+            if adopted is not None:
+                new.device = adopted
+            elif hasattr(eng, "stage"):
+                new.device = eng.stage(st.data)
+            elif hasattr(eng, "_stage"):
+                new.device = eng._stage(st.data)
+        return new
+
     # -- operations --------------------------------------------------------
 
     def count(self, text: utf8.TextLike, case: CaseSensitivity) -> int:

@@ -391,6 +391,17 @@ class GroupedPallasAcEngine:
             return None
         return self.engines[0].stage(data)
 
+    def adopt_staged(self, st):
+        """Cross-searcher staging adoption (see PallasAcEngine.adopt_staged):
+        every group pass scans the shared staging, so the overlap must cover
+        the FULL machine's synchronization window, not just group 0's."""
+        if st is None or st.plan.overlap < max(0, self.machine.max_needle_bytes - 1):
+            return None
+        e0 = self.engines[0]
+        if st.plan.n_streams != e0.S or st.plan.time_len % e0.t_tile:
+            return None
+        return st
+
     @property
     def n_groups(self) -> int:
         return len(self.engines)

@@ -812,6 +812,26 @@ class PallasAcEngine:
             st._bscal_strict = jnp.asarray(_boundary_scalars(st.warm_np, vend, False))
         return st._bscal_strict
 
+    def adopt_staged(self, st: Optional[StagedStreams]) -> Optional[StagedStreams]:
+        """Validate that THIS engine can scan a staging created by another
+        engine — possibly for a DIFFERENT machine.  The stream layout is
+        machine-independent (raw bytes windowed; warm/vend masks depend only
+        on the plan) and per-machine boundary scalars are re-derived by
+        ``_bscal_for``; the grouped engine's needle-group passes already
+        rely on exactly this.  Exposed so a live needle-set swap in serving
+        reuses the resident corpus instead of re-paying the host->device
+        transfer.  Requirements: same stream width, tile-aligned time
+        length, and a staged warm-up overlap covering this machine's
+        synchronization window (overlap >= max_needle_bytes - 1).  Returns
+        ``st`` when compatible, None otherwise (caller restages)."""
+        if st is None or st.plan.n_streams != self.S:
+            return None
+        if st.plan.time_len % self.t_tile:
+            return None
+        if st.plan.overlap < max(0, self.machine.max_needle_bytes - 1):
+            return None
+        return st
+
     def count_staged(self, st: StagedStreams, reps: int = 1) -> int:
         fn = self._get_count_fn(st.plan.time_len, reps)
         counts = fn(

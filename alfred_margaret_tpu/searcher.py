@@ -168,6 +168,19 @@ class Searcher:
         done once); pass the result to any matching operation."""
         return self._engine.stage(haystack, self._case)
 
+    def adopt_staged(self, staged):
+        """Rebind ANOTHER searcher's staged haystack to this searcher — the
+        live needle-set-swap path for serving: the corpus's device streams
+        (machine-independent layout) and host lowering are reused instead
+        of re-paying the host->device transfer (~60 MB/s on tunneled
+        relays; 17 s for a 1 GiB corpus) and the lowering pass.  Exact: the
+        staged warm-up overlap is validated against this searcher's
+        needle-length synchronization window, with a transparent restage
+        from the staged bytes when layouts are incompatible.  Raises
+        ValueError when the staging retained only lowered bytes and this
+        searcher needs raw ones (stage the raw text instead)."""
+        return self._engine.adopt_staged(staged, self._case)
+
     def distributed(self, mesh, inner: str = "auto"):
         """A ``parallel.DistributedAcEngine`` scanning this searcher's
         automaton over a ``(data, seq, needle)`` device mesh (counts via

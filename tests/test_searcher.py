@@ -187,3 +187,88 @@ def test_staged_owner_mismatch_raises():
     with pytest.raises(ValueError):
         s2.count_matches(st)
     assert s1.count_matches(st) == 2000
+
+
+class TestAdoptStaged:
+    """Cross-searcher staged-haystack adoption (live needle-set swap): the
+    corpus's stream layout is machine-independent, so a new searcher reuses
+    the resident staging instead of re-transferring — validated against the
+    new machine's synchronization window, restaged when incompatible."""
+
+    def test_adopt_reuses_device_streams(self):
+        s1 = Searcher.build_needle_id_searcher(CASE_SENSITIVE, ["foofoofoo", "barbarbar"])
+        s2 = Searcher.build_needle_id_searcher(CASE_SENSITIVE, ["oof", "rba"])
+        hay = "foofoofoo x rba y " * 3000
+        st1 = s1.stage(hay)
+        st2 = s2.adopt_staged(st1)
+        assert s2.count_matches(st2) == s2.count_matches(hay)
+        assert s2.contains_any(st2)
+        assert [(m.pos, m.value) for m in s2.all_matches(st2)] == [
+            (m.pos, m.value) for m in s2.all_matches(hay)
+        ]
+        # s2's needles are shorter than s1's -> overlap suffices -> the
+        # device streams must be THE SAME object (no re-transfer).
+        if st1.device is not None:
+            assert st2.device is st1.device
+
+    def test_adopt_restages_when_overlap_insufficient(self):
+        s1 = Searcher.build(CASE_SENSITIVE, ["ab"])
+        s2 = Searcher.build(CASE_SENSITIVE, ["abcdefghij" * 3])
+        hay = ("ab" + "abcdefghij" * 3 + "x") * 1500
+        st1 = s1.stage(hay)
+        st2 = s2.adopt_staged(st1)
+        # short-needle staging (overlap 1) cannot cover the 30-byte needle;
+        # adoption must restage, and results must still be exact.
+        assert s2.count_matches(st2) == s2.count_matches(hay) == 1500
+        if st1.device is not None and st2.device is not None:
+            assert st2.device is not st1.device
+
+    def test_adopt_ignore_case_reuses_lowering(self):
+        from alfred_margaret_tpu.utils import config
+
+        import dataclasses
+
+        saved = config.DEFAULT
+        config.DEFAULT = dataclasses.replace(saved, composed_ci_max_states=0)
+        try:
+            s1 = Searcher.build_needle_id_searcher(IGNORE_CASE, ["straße"])
+            s2 = Searcher.build_needle_id_searcher(IGNORE_CASE, ["ab"])
+            hay = "STRAßE ab AB xyz " * 2000
+            st1 = s1.stage(hay)
+            st2 = s2.adopt_staged(st1)
+            assert st2.lowered is st1.lowered  # lowering pass reused
+            assert s2.count_matches(st2) == s2.count_matches(hay)
+        finally:
+            config.DEFAULT = saved
+
+    def test_adopt_lowered_into_case_sensitive_raises(self):
+        from alfred_margaret_tpu.utils import config
+
+        import dataclasses
+
+        saved = config.DEFAULT
+        config.DEFAULT = dataclasses.replace(saved, composed_ci_max_states=0)
+        try:
+            s_ci = Searcher.build(IGNORE_CASE, ["ab"])
+            s_cs = Searcher.build(CASE_SENSITIVE, ["AB"])
+            st = s_ci.stage("ABab" * 2000)
+            with pytest.raises(ValueError):
+                s_cs.adopt_staged(st)
+        finally:
+            config.DEFAULT = saved
+
+    def test_adopt_raw_into_composed_ci(self):
+        import alfred_margaret_tpu.engine as engine_mod
+
+        saved = engine_mod.MatchEngine.AUTO_COMPOSE_BYTES
+        engine_mod.MatchEngine.AUTO_COMPOSE_BYTES = 0  # force composition
+        try:
+            s_cs = Searcher.build_needle_id_searcher(CASE_SENSITIVE, ["tshirt"])
+            s_ci = Searcher.build_needle_id_searcher(IGNORE_CASE, ["TShirt", "K"])
+            hay = "TSHIRT tshirt K x " * 2000
+            st_cs = s_cs.stage(hay)
+            st_ci = s_ci.adopt_staged(st_cs)
+            assert st_ci.composed
+            assert s_ci.count_matches(st_ci) == s_ci.count_matches(hay)
+        finally:
+            engine_mod.MatchEngine.AUTO_COMPOSE_BYTES = saved
