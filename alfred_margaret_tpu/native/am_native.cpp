@@ -489,6 +489,76 @@ int64_t am_splice_multi(const uint8_t* data, int64_t n, const int64_t* starts,
   return n + shift;
 }
 
+// Expand sparse hit-bitmap words into global end positions (the host side
+// of the device match-bitmap compaction; mirrors ops/pallas_scan.
+// expand_hit_bits).  Word i covers time steps [32*t_words[i],
+// 32*t_words[i]+32) of stream s_idx[i]; bits outside the stream's
+// [warm, vend) are dropped; kept bits emit s*L + (t - warm[s]) + 1.
+// out must hold >= total popcount(wval) entries; returns the kept count.
+// Threaded two-pass (count, prefix, fill) so the output stays dense and
+// in word order (bit 0 first within a word, matching the numpy path).
+int64_t am_expand_hit_bits(const int64_t* t_words, const int64_t* s_idx,
+                           const int32_t* wval, int64_t n_words,
+                           const int64_t* warm, const int64_t* vend,
+                           int64_t S, int64_t L, int64_t* out,
+                           int32_t n_threads) {
+  (void)S;
+  if (n_threads < 1) n_threads = 1;
+  if (n_words < (int64_t)n_threads * 4096) n_threads = 1;
+  int64_t chunk = (n_words + n_threads - 1) / n_threads;
+  std::vector<int64_t> kept((size_t)n_threads + 1, 0);
+  auto count_pass = [&](int t) {
+    int64_t i0 = (int64_t)t * chunk, i1 = std::min(n_words, i0 + chunk);
+    int64_t k = 0;
+    for (int64_t i = i0; i < i1; i++) {
+      int64_t s = s_idx[i];
+      int64_t t_base = t_words[i] * 32;
+      uint32_t bits = (uint32_t)wval[i];
+      int64_t w = warm[s], v = vend[s];
+      while (bits) {
+        int j = __builtin_ctz(bits);
+        bits &= bits - 1;
+        int64_t tt = t_base + j;
+        if (tt >= w && tt < v) k++;
+      }
+    }
+    kept[(size_t)t + 1] = k;
+  };
+  auto fill_pass = [&](int t) {
+    int64_t i0 = (int64_t)t * chunk, i1 = std::min(n_words, i0 + chunk);
+    int64_t o = kept[t];
+    for (int64_t i = i0; i < i1; i++) {
+      int64_t s = s_idx[i];
+      int64_t t_base = t_words[i] * 32;
+      uint32_t bits = (uint32_t)wval[i];
+      int64_t w = warm[s], v = vend[s];
+      while (bits) {
+        int j = __builtin_ctz(bits);
+        bits &= bits - 1;
+        int64_t tt = t_base + j;
+        if (tt >= w && tt < v) out[o++] = s * L + (tt - w) + 1;
+      }
+    }
+  };
+  if (n_threads == 1) {
+    count_pass(0);
+    fill_pass(0);
+    return kept[1];
+  }
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(count_pass, t);
+    for (auto& th : threads) th.join();
+  }
+  for (int t = 0; t < n_threads; t++) kept[(size_t)t + 1] += kept[t];
+  {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(fill_pass, t);
+    for (auto& th : threads) th.join();
+  }
+  return kept[(size_t)n_threads];
+}
+
 // Greedy leftmost-wins overlap removal over (start, end) pairs already
 // sorted ascending (removeOverlap, Replacer.hs:191-198): keep a match iff
 // its start is at/after the previous kept end.  Returns the kept count.

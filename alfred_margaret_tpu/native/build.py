@@ -78,6 +78,19 @@ def load() -> ctypes.CDLL:
             ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.am_expand_hit_bits.restype = ctypes.c_int64
+        lib.am_expand_hit_bits.argtypes = [
+            ctypes.c_void_p,  # t_words (int64)
+            ctypes.c_void_p,  # s_idx (int64)
+            ctypes.c_void_p,  # wval (int32)
+            ctypes.c_int64,   # n_words
+            ctypes.c_void_p,  # warm (int64)
+            ctypes.c_void_p,  # vend (int64)
+            ctypes.c_int64,   # S
+            ctypes.c_int64,   # L
+            ctypes.c_void_p,  # out (int64)
+            ctypes.c_int32,   # n_threads
+        ]
         lib.am_states_at.restype = None
         lib.am_states_at.argtypes = [
             ctypes.c_void_p,  # delta

@@ -1143,6 +1143,36 @@ def make_matchbits_kernel(T_TILE, R, step_factory, n_tiles):
     return kernel
 
 
+def _expand_hit_bits_native(t_words, s_idx, wvals, warm, vend, L):
+    """Threaded C++ bit expansion (am_expand_hit_bits); None when the
+    native library is unavailable (numpy fallback in expand_hit_bits)."""
+    try:
+        from ..native import build as _nb
+
+        lib = _nb.load()
+    except Exception:
+        return None
+    from ..native.cpp_engine import _default_threads
+
+    tw = np.ascontiguousarray(t_words, dtype=np.int64)
+    si = np.ascontiguousarray(s_idx, dtype=np.int64)
+    wv = np.ascontiguousarray(
+        np.asarray(wvals).astype(np.int64) & 0xFFFFFFFF, dtype=np.uint32
+    )
+    warm64 = np.ascontiguousarray(warm, dtype=np.int64)
+    vend64 = np.ascontiguousarray(vend, dtype=np.int64)
+    budget = int(np.bitwise_count(wv).sum())
+    out = np.empty(budget, dtype=np.int64)
+    n = int(
+        lib.am_expand_hit_bits(
+            tw.ctypes.data, si.ctypes.data, wv.ctypes.data, len(wv),
+            warm64.ctypes.data, vend64.ctypes.data,
+            0, int(L), out.ctypes.data, _default_threads(),
+        )
+    )
+    return out[:n]
+
+
 def _states_at_native(machine, data: np.ndarray, pos: np.ndarray, W: int):
     """Threaded C++ replay (am_states_at) — ~10x the numpy gather loop at
     millions of positions (the hit-dense extraction's dominant host stage).
@@ -1206,12 +1236,16 @@ def expand_hit_bits(t_words, s_idx, wvals, warm, vend, L):
     (``s * L + (t - warm) + 1``).  Shared by the single-chip bitmap
     extraction and the mesh bitmap path (``parallel.shard``).
 
-    Bit expansion runs through ``np.unpackbits`` on the little-endian byte
-    view (bit ``j`` of a word == bit ``j & 7`` of byte ``j >> 3``) — the
-    (n, 32) broadcast this replaced allocated 32x the words and dominated
+    Bit expansion runs through the threaded native loop (am_expand_hit_bits)
+    when available, else ``np.unpackbits`` on the little-endian byte view
+    (bit ``j`` of a word == bit ``j & 7`` of byte ``j >> 3``) — the (n, 32)
+    broadcast these replaced allocated 32x the words and dominated
     extraction wall time at high hit density."""
     if len(wvals) == 0:
         return np.zeros(0, dtype=np.int64)
+    native = _expand_hit_bits_native(t_words, s_idx, wvals, warm, vend, L)
+    if native is not None:
+        return native
     wbytes = (np.asarray(wvals, dtype=np.int64) & 0xFFFFFFFF).astype("<u4").view(np.uint8)
     j = np.flatnonzero(np.unpackbits(wbytes, bitorder="little"))
     wi = j >> 5
