@@ -217,7 +217,14 @@ class MatchEngine:
                 # multi-pass kernel (ops.grouped).
                 from .ops.grouped import GroupedPallasAcEngine
 
-                self._pallas = GroupedPallasAcEngine(self.machine)
+                try:
+                    self._pallas = GroupedPallasAcEngine(self.machine)
+                except CapacityError:
+                    # Not partitionable either (empty-needle machines: the
+                    # root-piggyback count is a union over groups, which
+                    # per-group sums cannot express).  The XLA engine scans
+                    # the FULL machine — correct at any table size.
+                    return self._xla_engine()
         return self._pallas
 
     #: Under "auto", automata whose group passes sum to more than this many

@@ -104,6 +104,12 @@ def partition_adaptive(
 ):
     """Group needles by *exact* sub-machine structure cost, dense or comb.
 
+    Raises :class:`CapacityError` for empty-needle machines: the empty
+    needle's matches depend on the union of all groups' states (see the
+    engine constructor) — such machines are not needle-partitionable, and
+    the dispatcher's cost probe relies on this raise to route them to a
+    full-machine engine.
+
     The entry-bound partitioner above is safe but very conservative: the
     comb representation (``ops.comb_scan``) fits 10-30x more states in the
     same row budget, so sizing groups against ``min(dense, comb)`` cost
@@ -115,6 +121,8 @@ def partition_adaptive(
     """
     from .comb_scan import plan_pallas
 
+    if any(len(n) == 0 for n in machine.needles):
+        raise CapacityError("empty needle cannot be needle-partitioned")
     first: dict = {}
     uniq: List[Tuple[bytes, List[int]]] = []
     for vid, needle in enumerate(machine.needles):
@@ -328,6 +336,17 @@ class GroupedPallasAcEngine:
     ):
         from .comb_scan import make_pallas_engine
 
+        if any(len(n) == 0 for n in machine.needles):
+            # The empty needle's root-piggyback quirk fires wherever the
+            # FULL machine is non-root (Automaton.hs:367-380 flattening) —
+            # the UNION of all groups' non-root states, which per-group
+            # count sums cannot express (found by soak trial 32: grouped
+            # 896 vs full 929).  Empty-needle machines must run on a
+            # full-machine engine (single-pass kernel / XLA / host C++).
+            raise CapacityError(
+                "empty needle cannot be needle-partitioned: its matches "
+                "depend on the union of every group's states"
+            )
         self.machine = machine
         self.max_rows = max_rows
         if partition == "adaptive":

@@ -1146,11 +1146,8 @@ def make_matchbits_kernel(T_TILE, R, step_factory, n_tiles):
 def _expand_hit_bits_native(t_words, s_idx, wvals, warm, vend, L):
     """Threaded C++ bit expansion (am_expand_hit_bits); None when the
     native library is unavailable (numpy fallback in expand_hit_bits)."""
-    try:
-        from ..native import build as _nb
-
-        lib = _nb.load()
-    except Exception:
+    lib = utf8._native_lib()  # failure-cached: one probe per process
+    if lib is None:
         return None
     from ..native.cpp_engine import _default_threads
 
@@ -1161,7 +1158,12 @@ def _expand_hit_bits_native(t_words, s_idx, wvals, warm, vend, L):
     )
     warm64 = np.ascontiguousarray(warm, dtype=np.int64)
     vend64 = np.ascontiguousarray(vend, dtype=np.int64)
-    budget = int(np.bitwise_count(wv).sum())
+    try:
+        budget = int(np.bitwise_count(wv).sum())  # numpy >= 2.0
+    except AttributeError:  # pragma: no cover - numpy 1.x
+        budget = int(
+            np.unpackbits(wv.view(np.uint8)).sum()
+        )
     out = np.empty(budget, dtype=np.int64)
     n = int(
         lib.am_expand_hit_bits(
@@ -1177,11 +1179,8 @@ def _states_at_native(machine, data: np.ndarray, pos: np.ndarray, W: int):
     """Threaded C++ replay (am_states_at) — ~10x the numpy gather loop at
     millions of positions (the hit-dense extraction's dominant host stage).
     None when the native library is unavailable."""
-    try:
-        from ..native import build as _nb
-
-        lib = _nb.load()
-    except Exception:
+    lib = utf8._native_lib()  # failure-cached: one probe per process
+    if lib is None:
         return None
     from ..native.cpp_engine import _default_threads
 

@@ -138,6 +138,16 @@ class DistributedAcEngine:
 
         # Needle groups (G == 1 means the full machine).
         if self.n_needle_groups > 1:
+            if any(len(n) == 0 for n in machine.needles):
+                # Same non-decomposability as ops.grouped: the empty
+                # needle's root-piggyback count depends on the UNION of all
+                # shards' non-root states; per-shard psums undercount.
+                # Data/seq-only meshes are fine (every shard scans the full
+                # machine).
+                raise ValueError(
+                    "empty needle cannot be needle-sharded; use a "
+                    "data/seq-only mesh for empty-needle machines"
+                )
             self.vid_groups = _balanced_groups(machine, self.n_needle_groups)
             self.sub_machines = [
                 self._sub_build([(machine.needles[v], machine.values[v]) for v in vids])

@@ -554,6 +554,30 @@ def _splice_threads() -> int:
     return _default_threads()
 
 
+_PYBYTES_FNS = None
+
+
+def _alloc_bytes(n: int):
+    """A fresh uninitialized Python ``bytes`` of length ``n`` plus its
+    writable data pointer (``PyBytes_FromStringAndSize(NULL, n)`` — filled
+    by the caller BEFORE the object escapes; refcount 1, the standard
+    build-then-expose C-API pattern).  Prototypes are configured once."""
+    import ctypes
+
+    global _PYBYTES_FNS
+    if _PYBYTES_FNS is None:
+        make = ctypes.pythonapi.PyBytes_FromStringAndSize
+        make.restype = ctypes.py_object
+        make.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+        asstr = ctypes.pythonapi.PyBytes_AsString
+        asstr.restype = ctypes.c_void_p
+        asstr.argtypes = [ctypes.py_object]
+        _PYBYTES_FNS = (make, asstr)
+    make, asstr = _PYBYTES_FNS
+    buf = make(None, n)
+    return buf, asstr(buf)
+
+
 def _splice_owned(data, starts: np.ndarray, ends: np.ndarray, replacement: bytes):
     """Splice straight into a Python ``bytes`` object and return
     ``(np_view, bytes_obj)`` — the view for further passes, the object for
@@ -567,26 +591,18 @@ def _splice_owned(data, starts: np.ndarray, ends: np.ndarray, replacement: bytes
         out = _splice_np(data, starts, ends, replacement)
         b = out.tobytes()
         return np.frombuffer(b, dtype=np.uint8), b
-    import ctypes
-
     src = utf8.to_u8(data)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     ends = np.ascontiguousarray(ends, dtype=np.int64)
     repl = np.frombuffer(replacement, dtype=np.uint8)
     out_len = len(src) + len(starts) * len(repl) - int(np.sum(ends - starts))
-    make = ctypes.pythonapi.PyBytes_FromStringAndSize
-    make.restype = ctypes.py_object
-    make.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
-    asstr = ctypes.pythonapi.PyBytes_AsString
-    asstr.restype = ctypes.c_void_p
-    asstr.argtypes = [ctypes.py_object]
     if out_len <= 0:
         return np.zeros(0, dtype=np.uint8), b""
-    buf = make(None, out_len)
+    buf, ptr = _alloc_bytes(out_len)
     wrote = int(
         lib.am_splice_mt(
             src.ctypes.data, len(src), starts.ctypes.data, ends.ctypes.data,
-            len(starts), repl.ctypes.data, len(repl), asstr(buf),
+            len(starts), repl.ctypes.data, len(repl), ptr,
             _splice_threads(),
         )
     )
@@ -650,26 +666,18 @@ def _splice_multi_bytes(data, starts, ends, rids, values) -> bytes:
             prev = int(e)
         parts.append(sb[prev:])
         return b"".join(parts)
-    import ctypes
-
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     ends = np.ascontiguousarray(ends, dtype=np.int64)
     rid32 = np.ascontiguousarray(inv, dtype=np.int32)
     blob = np.frombuffer(b"".join(blobs) or b"\x00", dtype=np.uint8)
-    make = ctypes.pythonapi.PyBytes_FromStringAndSize
-    make.restype = ctypes.py_object
-    make.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
-    asstr = ctypes.pythonapi.PyBytes_AsString
-    asstr.restype = ctypes.c_void_p
-    asstr.argtypes = [ctypes.py_object]
     if out_len <= 0:
         return b""
-    buf = make(None, out_len)
+    buf, ptr = _alloc_bytes(out_len)
     wrote = int(
         lib.am_splice_multi(
             src.ctypes.data, len(src), starts.ctypes.data, ends.ctypes.data,
             len(starts), blob.ctypes.data, off.ctypes.data, rid32.ctypes.data,
-            asstr(buf), _splice_threads(),
+            ptr, _splice_threads(),
         )
     )
     assert wrote == out_len, (wrote, out_len)

@@ -22,6 +22,7 @@ t0 = time.time()
 trial = 0
 MAX_TRIALS = int(os.environ.get("AMT_SOAK_TRIALS", "0"))  # 0 = forever
 MESH = make_mesh(jax.devices()[:4], data=2, seq=1, needle=2)
+MESH_DATA = make_mesh(jax.devices()[:4], data=4, seq=1, needle=1)
 while True:
     if MAX_TRIALS and trial >= MAX_TRIALS:
         print(f"[soak] done: {trial} trials OK ({time.time()-t0:.0f}s)", flush=True)
@@ -74,8 +75,11 @@ while True:
         assert gc == (expected > 0), (trial, "grouped-contains", ge._fused_sticky_setup() is not None)
     except CapacityError:
         pass
-    # distributed xla inner on the virtual mesh
-    de = DistributedAcEngine(m, MESH, inner="xla")
+    # distributed xla inner on the virtual mesh (empty-needle machines are
+    # not needle-shardable — root-piggyback counts are a union over shards —
+    # so they run on the data-only mesh instead)
+    mesh_t = MESH_DATA if b"" in needles else MESH
+    de = DistributedAcEngine(m, mesh_t, inner="xla")
     got = de.count(hay)
     assert got == expected, (trial, "dist", got, expected)
     # streaming chunk-boundary round: small chunks force several boundaries,

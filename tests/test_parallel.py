@@ -289,3 +289,42 @@ def test_bitmap_extraction_nul_needle_padded_streams():
     assert all(
         int(e) == o.pos and int(v) == o.value for e, v, o in zip(ends, vids, oracle)
     )
+
+
+def test_empty_needle_not_needle_shardable():
+    """The empty needle's root-piggyback count depends on the UNION of all
+    shards' non-root states (soak trial 32: per-group sums undercounted
+    929 -> 896), so needle-sharded construction must refuse it; data/seq
+    meshes scan the full machine and stay exact."""
+    from alfred_margaret_tpu.ops.grouped import GroupedPallasAcEngine
+    from alfred_margaret_tpu.ops.pallas_scan import CapacityError
+
+    rng = np.random.default_rng(1032)
+    needles = list(
+        dict.fromkeys(
+            bytes(rng.integers(97, 105, size=rng.integers(1, 9), dtype=np.uint8))
+            for _ in range(60)
+        )
+    )[:50] + [b""]
+    m = ac.build([(x, i) for i, x in enumerate(needles)])
+    hay = b"".join(needles[i] for i in rng.integers(0, len(needles) - 1, 400))
+    expected = ac.count_matches(m, hay)
+
+    with pytest.raises(CapacityError):
+        GroupedPallasAcEngine(m, max_rows=5, n_streams=256, t_tile=64, interpret=True)
+    with pytest.raises(ValueError):
+        DistributedAcEngine(
+            m, make_mesh(jax.devices()[:4], data=2, seq=1, needle=2), inner="xla"
+        )
+    # Data-only mesh: every shard runs the full machine -- exact.
+    de = DistributedAcEngine(
+        m, make_mesh(jax.devices()[:4], data=4, seq=1, needle=1), inner="xla"
+    )
+    assert de.count(hay) == expected
+    # Auto dispatch must route empty-needle machines to a full-machine
+    # engine and stay exact even when a single pass cannot hold the table.
+    from alfred_margaret_tpu.engine import MatchEngine
+    from alfred_margaret_tpu.utils.case import CASE_SENSITIVE
+
+    eng = MatchEngine(m, engine="auto")
+    assert eng.count(hay, CASE_SENSITIVE) == expected
