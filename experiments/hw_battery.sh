@@ -44,6 +44,7 @@ run python experiments/tpu_r2_measure.py
 run python bench.py
 run python -m alfred_margaret_tpu.bench.configs
 run env AMT_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q
+run python experiments/tpu_adopt_check.py
 run python experiments/tpu_streaming_check.py
 run python experiments/tpu_bits_profile.py
 run python experiments/tpu_bits_profile.py --hit-fraction 0.0003 --size-mb 128 --no-short
