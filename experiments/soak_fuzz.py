@@ -140,7 +140,9 @@ while True:
         from alfred_margaret_tpu import CASE_SENSITIVE, Replacer
         from alfred_margaret_tpu import replacer as replacer_mod
 
-        r_needles = [n.decode("latin1") for n in dict.fromkeys(needles[:6]) if n]
+        # incl. empty needles: the root-piggyback quirk flows through the
+        # replacer's match list (all three loops verified equivalent).
+        r_needles = [n.decode("latin1") for n in dict.fromkeys(needles[:6])]
         if r_needles:
             # Half the trials draw replacements byte-disjoint from the
             # needle alphabet (forces _run_batched eligibility); the rest

@@ -166,3 +166,26 @@ class TestBatchedFastPath:
             monkeypatch,
         )
         assert out == "Xd Y X"
+
+
+class TestEmptyNeedle:
+    """Empty-needle replacers: the root-piggyback quirk flows through the
+    match list — X lands after every code point whose resulting state is
+    non-root; alone, the empty needle never fires (root collects nothing).
+    All three loops (incremental incl. batched, full-rescan, scalar python
+    engine) must agree byte-for-byte."""
+
+    @pytest.mark.parametrize(
+        "needles,text,want",
+        [
+            ([("", "X")], "abcab", "abcab"),
+            ([("", "X"), ("ab", "Y")], "abcab", "aXbXcaXbX"),
+            ([("ab", "Y"), ("", "-")], "abcab", "YcY"),
+            ([("", "X"), ("ab", "Y")], "aßb", "aXßb"),
+        ],
+    )
+    def test_three_way_agreement(self, needles, text, want, monkeypatch):
+        out = both_ways(CASE_SENSITIVE, needles, text, monkeypatch)
+        assert out == want
+        got_py = Replacer.build(CASE_SENSITIVE, needles, engine="python").run(text)
+        assert got_py == want
