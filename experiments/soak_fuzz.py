@@ -21,6 +21,7 @@ from alfred_margaret_tpu.parallel import DistributedAcEngine, make_mesh
 t0 = time.time()
 trial = 0
 MAX_TRIALS = int(os.environ.get("AMT_SOAK_TRIALS", "0"))  # 0 = forever
+SEED_BASE = int(os.environ.get("AMT_SOAK_SEED_BASE", "1000"))  # fresh ground per run
 MESH = make_mesh(jax.devices()[:4], data=2, seq=1, needle=2)
 MESH_DATA = make_mesh(jax.devices()[:4], data=4, seq=1, needle=1)
 while True:
@@ -28,7 +29,7 @@ while True:
         print(f"[soak] done: {trial} trials OK ({time.time()-t0:.0f}s)", flush=True)
         break
     trial += 1
-    rng = np.random.default_rng(1000 + trial)
+    rng = np.random.default_rng(SEED_BASE + trial)
     n = int(rng.integers(3, 200))
     alpha_lo, alpha_hi = (97, 105) if rng.random() < 0.5 else (97, 123)
     needles = list(dict.fromkeys(
