@@ -921,12 +921,22 @@ def plan_pallas(machine, max_rows: int = MAX_ROWS):
 
 
 def make_pallas_engine(machine: AcMachine, max_rows: int = MAX_ROWS, **kw):
-    """Build the cheapest of the dense / comb / comb16 Pallas engines.
+    """Build the cheapest of the bitap / dense / comb / comb16 Pallas engines.
 
-    The structure-cost estimates carry placement-overhead guesses; if actual
+    Small needle sets whose tracks fit one int32 register take the bitap
+    kernel (measured 639 GB/s vs the dense kernel's ~165 GB/s dependent-
+    gather floor — ops.bitap_scan); AMT_BITAP=0 disables it.  Below that,
+    the structure-cost estimates carry placement-overhead guesses; if actual
     placement overflows, falls back down the ladder (comb16 -> comb ->
     dense) to whatever fits.
     """
+    import os
+
+    if os.environ.get("AMT_BITAP") != "0":
+        from .bitap_scan import BitapAcEngine, plan_bitap
+
+        if plan_bitap(machine) is not None:
+            return BitapAcEngine(machine, max_rows=max_rows, **kw)
     kind, _ = plan_pallas(machine, max_rows)
     if kind == "comb16":
         from .comb16_scan import Comb16PallasAcEngine
