@@ -74,10 +74,13 @@ def _tpu_measure(machine, data: np.ndarray, n_full: int):
     Wide rep spread: the ~30 ms relay round-trip jitters by up to ~10 ms
     between runs, so the slope denominator must dwarf it.  Returns
     (bytes/s, single-rep count)."""
-    from alfred_margaret_tpu.ops.pallas_scan import PallasAcEngine
+    from alfred_margaret_tpu.ops.comb_scan import make_pallas_engine
 
-    eng = PallasAcEngine(machine)
-    r_lo, r_hi = 2, 130
+    # Factory picks the fastest eligible kernel (bitap for this needle
+    # set — ops.bitap_scan); the rep spread is sized so that even at the
+    # bitap rate (~600 GB/s) the slope denominator is ~100 ms of kernel.
+    eng = make_pallas_engine(machine)
+    r_lo, r_hi = 2, 502
     t_lo, c_lo = _time_device_scan(eng, data, r_lo)
     t_hi, c_hi = _time_device_scan(eng, data, r_hi)
     assert c_lo * r_hi == c_hi * r_lo, f"rep-count mismatch {c_lo}x{r_hi} != {c_hi}x{r_lo}"

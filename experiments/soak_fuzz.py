@@ -67,6 +67,16 @@ while True:
         ), (trial, "comb16-matches")
     except CapacityError:
         pass
+    # bitap register automaton (small needle sets; different ALGORITHM,
+    # so this is cross-algorithm conformance, not just kernel parity)
+    from alfred_margaret_tpu.ops.bitap_scan import BitapAcEngine, plan_bitap
+    if plan_bitap(m) is not None:
+        be = BitapAcEngine(m, n_streams=256, t_tile=32, interpret=True)
+        stb = be.stage(np.frombuffer(hay, dtype=np.uint8))
+        got = be.count_staged(stb)
+        assert got == expected, (trial, "bitap", got, expected)
+        assert be.count_staged(stb, reps=2) == 2 * expected, (trial, "bitap-reps")
+        assert be.contains_staged(stb) == (expected > 0), (trial, "bitap-contains")
     # grouped fused
     try:
         ge = GroupedPallasAcEngine(m, max_rows=5, n_streams=256, t_tile=64, interpret=True, unroll=4)

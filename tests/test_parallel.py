@@ -210,22 +210,27 @@ def test_pallas_inner_interpret(data, seq, needle):
     assert all(int(e) == o.pos and int(v) == o.value for e, v, o in zip(ends, vids, oracle))
 
 
-@pytest.mark.parametrize("data,seq,needle", [(2, 1, 2), (1, 2, 2)])
-def test_comb16_inner_interpret(data, seq, needle):
-    """Mid-tier needle groups route the distributed count step through the
-    UNIFORM comb16 kernel (per-group SMEM scalars) instead of the dense
-    select chain — counts must stay bit-identical to single-chip."""
+def _comb16_set(n_needles: int, n_frags: int):
     rng = np.random.default_rng(17)
     needles = list(
         dict.fromkeys(
             "".join(chr(97 + c) for c in rng.integers(0, 26, size=rng.integers(4, 9)))
             for _ in range(80)
         )
-    )[:70]
+    )[:n_needles]
     needles[:3] = ["abc", "abcd", "c"]  # overlap -> count>=2 states
     m = ac.build([(n, i) for i, n in enumerate(needles)])
     frags = [n.encode() for n in needles[:20]] + [b"zqzqzq", b"abcabcd"]
-    hay = b"".join(frags[i] for i in rng.integers(0, len(frags), 700))
+    hay = b"".join(frags[i] for i in rng.integers(0, len(frags), n_frags))
+    return m, hay
+
+
+@pytest.mark.parametrize("data,seq,needle", [(2, 1, 2), (1, 2, 2)])
+def test_comb16_inner_interpret(data, seq, needle):
+    """Mid-tier needle groups route the distributed count step through the
+    UNIFORM comb16 kernel (per-group SMEM scalars) instead of the dense
+    select chain — counts must stay bit-identical to single-chip."""
+    m, hay = _comb16_set(70, 250)
     mesh = make_mesh(
         jax.devices()[: data * seq * needle], data=data, seq=seq, needle=needle
     )
@@ -241,11 +246,25 @@ def test_comb16_inner_interpret(data, seq, needle):
     # (5 table args: classmap/comb/aux/rootseg/gscal; dense has 3)
     ckey = [k for k in engine._count_step if isinstance(k, tuple) and k[0] == "contains"]
     assert ckey and len(engine._count_step[ckey[0]][1]) == 5
-    # Position extraction through the SAME comb16-engaged staged handle:
-    # extraction always runs the full-table per-group kernels (comb16
-    # covers count/contains only), so the composition comb16-count +
-    # full-table positions over one handle must agree with the oracle in
-    # full (ends AND needle ids, emission order).
+
+
+def test_comb16_inner_positions_interpret():
+    """Position extraction through a comb16-engaged staged handle:
+    extraction always runs the full-table per-group kernels (comb16 covers
+    count/contains only), so the composition comb16-count + full-table
+    positions over one handle must agree with the oracle in full (ends AND
+    needle ids, emission order).
+
+    One reduced-size config: interpret-mode per-group extraction over the
+    mesh costs ~minutes/KB (it dominated this suite's wall time at 70
+    needles x 700 fragments: 2397 s for ONE param — the composition being
+    checked is size-independent)."""
+    m, hay = _comb16_set(40, 150)
+    mesh = make_mesh(jax.devices()[:4], data=1, seq=2, needle=2)
+    engine = DistributedAcEngine(m, mesh, inner="pallas", interpret=True)
+    assert engine._c16g is not None, "comb16 inner did not engage"
+    st = engine.stage(hay)
+    assert engine.count_staged(st) == ac.count_matches(m, hay)
     ends, vids = engine.matches_arrays_staged(st)
     oracle = ac.all_matches(m, hay)
     assert len(ends) == len(oracle)
