@@ -157,6 +157,25 @@ class DistributedAcEngine:
             self.vid_groups = [list(range(len(machine.needles)))]
             self.sub_machines = [machine]
 
+        # Bitap inner: small needle sets on data/seq meshes take the
+        # register-automaton kernel per shard (ops.bitap_scan; measured
+        # ~3x the dense kernel's dependent-gather floor on v5e).  Needle
+        # sharding would need per-group track layouts baked into one
+        # program — the sets that fit 30 bits never need a needle axis.
+        self._bitap_lay = None
+        if self.inner == "pallas" and self.n_needle_groups == 1:
+            import os as _os
+
+            if _os.environ.get("AMT_BITAP") != "0":
+                from ..ops.bitap_scan import plan_bitap
+
+                self._bitap_lay = plan_bitap(machine)
+            if self._bitap_lay is not None:
+                bt = np.resize(self._bitap_lay.btab, 256)
+                self._btab_dev = jnp.asarray(
+                    bt.reshape(2, 128).astype(np.int32)
+                )
+
         if self.inner == "pallas":
             from ..ops.pallas_scan import CapacityError, CompressedMachine
 
@@ -249,6 +268,8 @@ class DistributedAcEngine:
         all_axes = self._all_axes
         S_local = S // self.n_stream_shards
 
+        if self.inner == "pallas" and self._bitap_lay is not None:
+            return self._build_bitap_count_step(T, S)
         if self.inner == "pallas" and self._c16g is not None:
             return self._build_c16_count_step(T, S)
         if self.inner == "pallas":
@@ -373,6 +394,132 @@ class DistributedAcEngine:
             check_vma=False,
         )
         return jax.jit(shard_fn), table_args
+
+    def _build_bitap_count_step(self, T: int, S: int):
+        """Per-shard bitap count step (small needle sets, data/seq meshes):
+        same shard/psum protocol as the dense step, but the inner kernel is
+        the register automaton (ops.bitap_scan)."""
+        import dataclasses
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..ops import bitap_scan as bs
+        from ..ops import pallas_scan as ps
+
+        mesh, stream_axes, all_axes = self.mesh, self._stream_axes, self._all_axes
+        S_local = S // self.n_stream_shards
+        R_local = S_local // 128
+        t_tile = 128 if T % 128 == 0 else T
+        n_tiles = T // t_tile
+        lay = dataclasses.replace(
+            self._bitap_lay, unroll=ps._fit_unroll(self._bitap_lay.unroll, t_tile)
+        )
+        kernel = bs._make_bitap_count_kernel(t_tile, R_local, n_tiles, 1, lay)
+        interp = self._interpret
+
+        def per_shard(btab, streams, warm, vend):
+            # Warm mask only: bitap eligibility guarantees pad bytes zero
+            # the register, so no valid-end freeze is needed (the second
+            # boundary scalar is the interior-tile no-freeze sentinel).
+            bscal = jnp.stack([warm.max(), jnp.int32(1 << 30)]).astype(jnp.int32)
+            counts = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (t_tile, R_local, 128),
+                        lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((R_local, 128), jnp.int32),
+                scratch_shapes=[
+                    pltpu.VMEM((R_local, 128), jnp.int32),
+                    pltpu.VMEM((R_local, 128), jnp.int32),
+                ],
+                interpret=interp,
+            )(
+                bscal,
+                btab,
+                warm.reshape(R_local, 128),
+                streams.reshape(T, R_local, 128),
+            )
+            live = vend.reshape(R_local, 128) > 0
+            return jax.lax.psum(jnp.where(live, counts, 0), all_axes)
+
+        shard_fn = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(),) + (P(None, stream_axes), P(stream_axes), P(stream_axes)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(shard_fn), (self._btab_dev,)
+
+    def _build_bitap_contains_step(self, T: int, S: int):
+        """Per-shard bitap sticky existence step (see the count step)."""
+        import dataclasses
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..ops import bitap_scan as bs
+        from ..ops import pallas_scan as ps
+
+        mesh, stream_axes, all_axes = self.mesh, self._stream_axes, self._all_axes
+        S_local = S // self.n_stream_shards
+        R_local = S_local // 128
+        t_tile = 128 if T % 128 == 0 else T
+        n_tiles = T // t_tile
+        lay = dataclasses.replace(
+            self._bitap_lay, unroll=ps._fit_unroll(self._bitap_lay.unroll, t_tile)
+        )
+        kernel = bs._make_bitap_contains_kernel(t_tile, R_local, n_tiles, 1, lay)
+        interp = self._interpret
+
+        def per_shard(btab, streams, warm, vend):
+            out = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (t_tile, R_local, 128),
+                        lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((R_local, 128), jnp.int32),
+                scratch_shapes=[
+                    pltpu.VMEM((R_local, 128), jnp.int32),
+                    pltpu.VMEM((R_local, 128), jnp.int32),
+                ],
+                interpret=interp,
+            )(btab, streams.reshape(T, R_local, 128))
+            live = vend.reshape(R_local, 128) > 0
+            hit = jnp.where(live, out != 0, False)
+            return jax.lax.psum(hit.sum().astype(jnp.int32), all_axes)
+
+        shard_fn = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(),) + (P(None, stream_axes), P(stream_axes), P(stream_axes)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(shard_fn), (self._btab_dev,)
 
     def _sticky16_tables(self):
         """Cached uniform comb16 sticky table set (shape-independent — one
@@ -682,6 +829,8 @@ class DistributedAcEngine:
 
         from ..ops import pallas_scan as ps
 
+        if self.inner == "pallas" and self._bitap_lay is not None:
+            return self._build_bitap_contains_step(T, S)
         svs = [ps._StickyView(sm) for sm in self.sub_machines]
         comps = [ps.CompressedMachine.from_machine(sv, force_packing=1) for sv in svs]
         rows = max(c.rows for c in comps)

@@ -210,6 +210,45 @@ def test_pallas_inner_interpret(data, seq, needle):
     assert all(int(e) == o.pos and int(v) == o.value for e, v, o in zip(ends, vids, oracle))
 
 
+@pytest.mark.parametrize("data,seq", [(2, 2), (4, 1)])
+def test_bitap_inner_interpret(data, seq):
+    """Small needle sets route the distributed count/contains steps through
+    the bitap register-automaton kernel per shard — counts must stay
+    bit-identical to single-chip, and needle-axis-free meshes must engage."""
+    rng = np.random.default_rng(21)
+    needles = [b"dup", b"dup", b"abc", b"abcd", b"bcd", b"gg"]
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    hay = (
+        rng.integers(97, 104, size=12000).astype(np.uint8).tobytes()
+        + b"dupabcd dup abcd"
+    )
+    mesh = make_mesh(jax.devices()[: data * seq], data=data, seq=seq)
+    engine = DistributedAcEngine(m, mesh, inner="pallas", interpret=True)
+    assert engine._bitap_lay is not None, "bitap inner did not engage"
+    st = engine.stage(hay)
+    exp = ac.count_matches(m, hay)
+    assert engine.count_staged(st) == exp
+    assert engine.contains_any(st) == (exp > 0)
+    assert engine.contains_any(b"zz" * 600) is False
+    # positions through the same handle still use the dense extraction
+    ends, vids = engine.matches_arrays_staged(st)
+    oracle = ac.all_matches(m, hay)
+    assert len(ends) == len(oracle)
+    assert all(
+        int(e) == o.pos and int(v) == o.value for e, v, o in zip(ends, vids, oracle)
+    )
+
+
+def test_bitap_inner_kill_switch(monkeypatch):
+    monkeypatch.setenv("AMT_BITAP", "0")
+    m = ac.build([(n, i) for i, n in enumerate([b"abc", b"bcd", b"gg"])])
+    hay = b"xabcdgg" * 500
+    mesh = make_mesh(jax.devices()[:4], data=2, seq=2)
+    engine = DistributedAcEngine(m, mesh, inner="pallas", interpret=True)
+    assert engine._bitap_lay is None
+    assert engine.count(hay) == ac.count_matches(m, hay)
+
+
 def _comb16_set(n_needles: int, n_frags: int):
     rng = np.random.default_rng(17)
     needles = list(
