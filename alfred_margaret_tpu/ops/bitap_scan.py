@@ -398,6 +398,39 @@ class BitapAcEngine(PallasAcEngine):
             out = out[st.live_np]
         return bool((out != 0).any())
 
+    def _bits_tables(self):
+        """Bitap step family for the match-bitmap extraction kernel
+        (``pallas_scan.make_matchbits_kernel``): the D register is the
+        carry, per-position counts come from the end-bit fields — so the
+        1-bit/position extraction scan also runs without dependent
+        gathers."""
+        lay = self.bitap
+        seed_i, endmask_i, fold = int(lay.seed), int(lay.endmask), lay.fold
+        fields = lay.fields
+
+        def step_factory(table_refs, R):
+            (btab_ref,) = table_refs
+            b_rows = _broadcast_rows(btab_ref[:], 2, R)
+            carry0 = jnp.zeros((R, 128), jnp.int32)
+
+            def step(D, byte_rc):
+                B = _b_of(byte_rc, b_rows, fold)
+                D = ((D << 1) | jnp.int32(seed_i)) & B
+                cnt = None
+                for eb, h, w in fields:
+                    f = (D >> eb) & jnp.int32(1)
+                    if w != 1:
+                        f = f * jnp.int32(w)
+                    cnt = f if cnt is None else cnt + f
+                return D, cnt
+
+            return carry0, step
+
+        specs = (
+            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        )
+        return (self._btab_dev,), specs, step_factory
+
     def needle_presence_staged(self, st: StagedStreams, reps: int = 1) -> np.ndarray:
         """Per-unique-needle presence flags from ONE sticky scan (the bitap
         bonus: each track's end bit is a per-needle flag).  Returns a bool

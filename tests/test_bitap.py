@@ -149,6 +149,27 @@ def test_inherited_extraction_agrees():
     assert eng.count_staged(st) == len(oracle)
 
 
+def test_bits_extraction_parity():
+    # The bitmap extraction path runs the bitap step (override of
+    # _bits_tables); positions + re-derived states must match the oracle.
+    for needles, hay in [
+        (["ab", "b", "abc"], b"zabcab" * 400),
+        (["x", "x", "yy"], b"xyxyyxx" * 300),
+    ]:
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        eng = _eng(m)
+        st = eng.stage(np.frombuffer(hay, dtype=np.uint8))
+        got = eng.match_positions_staged_bits(st)
+        assert got is not None, "bits path did not engage"
+        ends, vids = eng.matches_arrays_staged(st)
+        oracle = ac.all_matches(m, hay)
+        assert len(ends) == len(oracle)
+        assert all(
+            int(e) == o.pos and int(v) == o.value
+            for e, v, o in zip(ends, vids, oracle)
+        )
+
+
 def test_needle_presence():
     needles = ["tshirt", "shirts", "shorts", "tshirt"]
     m = ac.build([(n, i) for i, n in enumerate(needles)])
