@@ -931,3 +931,102 @@ int64_t am_prefilter_first(const uint32_t* bloom, int64_t bloom_words,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Bitap (shift-AND) host scan: one bit track per needle ENTRY in a uint64
+// register (sum of needle byte lengths <= 64; duplicates get their own
+// track, so per-byte counting is a plain popcount of the end bits — no
+// multiplicity weights).  Same overlap decomposition as the DFA scans: a
+// track is at most max_needle_bytes long, so the register synchronizes
+// after overlap = max_needle_bytes - 1 replayed bytes.  Host counterpart
+// of ops/bitap_scan.py (the TPU register-automaton kernel).
+
+static inline int64_t bitap_interleaved(const uint64_t* btab, uint64_t seed,
+                                        uint64_t endmask, const uint8_t* data,
+                                        int64_t emit_begin, int64_t emit_end,
+                                        int64_t overlap) {
+  constexpr int K = kInterleave;
+  int64_t n = emit_end - emit_begin;
+  if (n <= 0) return 0;
+  int64_t total = 0;
+  if (n < K * std::max<int64_t>(1024, 4 * overlap)) {
+    int64_t w = emit_begin - overlap;
+    if (w < 0) w = 0;
+    uint64_t d = 0;
+    for (int64_t i = w; i < emit_end; i++) {
+      d = ((d << 1) | seed) & btab[data[i]];
+      if (i >= emit_begin) total += __builtin_popcountll(d & endmask);
+    }
+    return total;
+  }
+  int64_t chunk = (n + K - 1) / K;
+  int64_t begin[K], end[K];
+  uint64_t D[K];
+  for (int k = 0; k < K; k++) {
+    begin[k] = emit_begin + (int64_t)k * chunk;
+    end[k] = begin[k] + chunk;
+    if (end[k] > emit_end) end[k] = emit_end;
+    if (begin[k] > emit_end) begin[k] = emit_end;
+    int64_t w = begin[k] - overlap;
+    if (w < 0) w = 0;
+    uint64_t d = 0;
+    for (int64_t i = w; i < begin[k]; i++) d = ((d << 1) | seed) & btab[data[i]];
+    D[k] = d;
+  }
+  int64_t minlen = end[K - 1] - begin[K - 1];
+  for (int64_t t = 0; t < minlen; t++) {
+    for (int k = 0; k < K; k++) {
+      int64_t i = begin[k] + t;
+      D[k] = ((D[k] << 1) | seed) & btab[data[i]];
+      total += __builtin_popcountll(D[k] & endmask);
+    }
+  }
+  for (int k = 0; k < K; k++) {
+    uint64_t d = D[k];
+    for (int64_t i = begin[k] + minlen; i < end[k]; i++) {
+      d = ((d << 1) | seed) & btab[data[i]];
+      total += __builtin_popcountll(d & endmask);
+    }
+  }
+  return total;
+}
+
+extern "C" {
+
+int64_t am_bitap_count_mt(const uint64_t* btab, uint64_t seed,
+                          uint64_t endmask, const uint8_t* data, int64_t n,
+                          int64_t overlap, int32_t n_threads) {
+  if (n_threads <= 1 || n < (int64_t)n_threads * 4096) {
+    return bitap_interleaved(btab, seed, endmask, data, 0, n, overlap);
+  }
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  std::vector<int64_t> partial(n_threads, 0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      int64_t emit_begin = (int64_t)t * chunk;
+      int64_t emit_end = emit_begin + chunk;
+      if (emit_end > n) emit_end = n;
+      if (emit_begin >= n) return;
+      partial[t] =
+          bitap_interleaved(btab, seed, endmask, data, emit_begin, emit_end, overlap);
+    });
+  }
+  for (auto& th : threads) th.join();
+  int64_t total = 0;
+  for (auto p : partial) total += p;
+  return total;
+}
+
+// First match END (one past the last byte) or -1 (containsAny early exit).
+int64_t am_bitap_first(const uint64_t* btab, uint64_t seed, uint64_t endmask,
+                       const uint8_t* data, int64_t n) {
+  uint64_t d = 0;
+  for (int64_t i = 0; i < n; i++) {
+    d = ((d << 1) | seed) & btab[data[i]];
+    if (d & endmask) return i + 1;
+  }
+  return -1;
+}
+
+}  // extern "C"

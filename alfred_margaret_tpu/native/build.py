@@ -135,6 +135,24 @@ def load() -> ctypes.CDLL:
             ctypes.c_void_p,  # out_state
             ctypes.c_int64,  # cap
         ]
+        lib.am_bitap_count_mt.restype = ctypes.c_int64
+        lib.am_bitap_count_mt.argtypes = [
+            ctypes.c_void_p,  # btab (uint64[256])
+            ctypes.c_uint64,  # seed
+            ctypes.c_uint64,  # endmask
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,   # n
+            ctypes.c_int64,   # overlap
+            ctypes.c_int32,   # n_threads
+        ]
+        lib.am_bitap_first.restype = ctypes.c_int64
+        lib.am_bitap_first.argtypes = [
+            ctypes.c_void_p,  # btab
+            ctypes.c_uint64,  # seed
+            ctypes.c_uint64,  # endmask
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,   # n
+        ]
         lib.am_scan_first_hit.restype = ctypes.c_int64
         lib.am_scan_first_hit.argtypes = [
             ctypes.c_void_p,  # delta

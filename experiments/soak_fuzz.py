@@ -67,6 +67,11 @@ while True:
         ), (trial, "comb16-matches")
     except CapacityError:
         pass
+    # host bitap: independent C++ register-automaton implementation
+    from alfred_margaret_tpu.native.cpp_engine import CppBitapEngine, plan_host_bitap
+    if plan_host_bitap(m) is not None:
+        got = CppBitapEngine(m).count(np.frombuffer(hay, dtype=np.uint8))
+        assert got == expected, (trial, "host-bitap", got, expected)
     # bitap register automaton (small needle sets; different ALGORITHM,
     # so this is cross-algorithm conformance, not just kernel parity)
     from alfred_margaret_tpu.ops.bitap_scan import BitapAcEngine, plan_bitap

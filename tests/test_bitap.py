@@ -179,6 +179,38 @@ def test_needle_presence():
     assert pres.tolist() == [True, False, False, True]
 
 
+def test_host_bitap_oracle():
+    # The C++ register-automaton implementation (native.cpp_engine
+    # .CppBitapEngine): independent of the DFA tables AND of the Pallas
+    # kernels; counts must agree on every corner the device engine covers.
+    pytest.importorskip("ctypes")
+    from alfred_margaret_tpu.native.build import NativeUnavailable
+
+    try:
+        from alfred_margaret_tpu.native.cpp_engine import (
+            CppBitapEngine,
+            plan_host_bitap,
+        )
+
+        cases = [
+            (["ab", "b", "abc", "ab"], b"zabcabzb" * 3000),  # dup + suffix
+            (["a\x00b"], b"xa\x00ba\x00b" * 2000),  # NUL ok on host
+            (["tshirt", "shirts", "shorts"], b"tshirtshirtsshorts" * 500),
+        ]
+        for needles, hay in cases:
+            m = ac.build([(n, i) for i, n in enumerate(needles)])
+            assert plan_host_bitap(m) is not None
+            eng = CppBitapEngine(m)
+            exp = ac.count_matches(m, hay)
+            assert eng.count(np.frombuffer(hay, dtype=np.uint8)) == exp
+            assert eng.contains(hay) == (exp > 0)
+        # 65 track bits -> ineligible
+        assert plan_host_bitap(ac.build([("x" * 65, 0)])) is None
+        assert plan_host_bitap(ac.build([("x" * 64, 0)])) is not None
+    except NativeUnavailable:
+        pytest.skip("no native toolchain")
+
+
 def test_fuzz_vs_host_oracle():
     rng = np.random.default_rng(42)
     alphabet = "abAB12"
