@@ -53,15 +53,14 @@ MAX_TRACK_BITS = 30
 
 
 @dataclass(frozen=True)
-class BitapLayout:
-    """Track layout for one int32 bitap register."""
+class WordLayout:
+    """Track layout for ONE int32 bitap register (word)."""
 
     seed: int  # bit per track start, injected every step
     endmask: int  # bit per track end (match flag)
     btab: np.ndarray  # int64 [256] byte -> track mask
     #: per track: (end_bit, headroom_bits, multiplicity_weight)
     fields: Tuple[Tuple[int, int, int], ...]
-    unroll: int  # flush block size (2**min_headroom > unroll)
 
     @property
     def fold(self) -> bool:
@@ -70,16 +69,82 @@ class BitapLayout:
         return bool((self.btab[127:] == self.btab[127]).all())
 
 
-def plan_bitap(machine: AcMachine, max_unroll: int = 8) -> Optional[BitapLayout]:
+@dataclass(frozen=True)
+class BitapLayout:
+    """Multi-word track layout: needles bin-packed into ``V`` int32
+    registers per stream.  Per byte the kernel does V independent B
+    gathers + 3V dependent ALU ops, so throughput degrades ~linearly in V
+    (measured V=1: 639 GB/s on v5e); ``plan_bitap`` caps V where the dense
+    ladder wins instead."""
+
+    words: Tuple[WordLayout, ...]
+    unroll: int  # flush block size (2**min_headroom > unroll, every field)
+
+    @property
+    def n_words(self) -> int:
+        return len(self.words)
+
+
+def _pack_words(uniq, mult, min_head: int):
+    """Greedy sequential packing of ascending-length needles into 30-bit
+    words (tracks never span words; the shortest needle of each word goes
+    first so later tracks' lengths double as count-field headroom)."""
+    words = []
+    i = 0
+    while i < len(uniq):
+        seed = 0
+        endmask = 0
+        btab = np.zeros(256, dtype=np.int64)
+        fields = []
+        off = 0
+        took = 0
+        while i < len(uniq):
+            nd = uniq[i]
+            end = off + len(nd) - 1
+            # A track may turn out to be the last in its word, so it must
+            # leave min_head bits of final headroom; close the word early
+            # and spill to the next one otherwise.
+            if MAX_TRACK_BITS - end < min_head:
+                break
+            # Tentative: the field needs headroom to the NEXT track in this
+            # word, or to bit 30 if it ends the word.  Place it, fix the
+            # previous field's recorded headroom.
+            seed |= 1 << off
+            for pp, b in enumerate(nd):
+                btab[b] |= 1 << (off + pp)
+            endmask |= 1 << end
+            fields.append([end, MAX_TRACK_BITS - end, mult[nd]])
+            if len(fields) > 1:
+                fields[-2][1] = end - fields[-2][0]
+            took += 1
+            i += 1
+            if i < len(uniq):
+                head = max(len(uniq[i]), min_head)
+                off = end + 1 + (head - len(uniq[i]))  # guard bits
+        if took == 0:
+            return None  # single needle longer than a word
+        assert all(h >= min_head for _, h, _ in fields)
+        words.append(
+            WordLayout(
+                seed=seed,
+                endmask=endmask,
+                btab=btab,
+                fields=tuple((e, h, w) for e, h, w in fields),
+            )
+        )
+    return tuple(words)
+
+
+def plan_bitap(
+    machine: AcMachine, max_unroll: int = 8, max_words: int = 3
+) -> Optional[BitapLayout]:
     """Track layout for ``machine``'s needles, or None if ineligible.
 
     Unique needles get one track each (duplicates fold into the field's
-    multiplicity weight).  The shortest needle goes first — every later
-    track's length doubles as the *previous* field's count headroom, so
-    fronting the shortest minimizes guard bits.  The largest flush block
-    (power of two <= ``max_unroll``) that every field can absorb without
-    carry overflow is chosen; layouts that cannot fit even single-byte
-    flush blocks in 30 bits return None.
+    multiplicity weight), bin-packed into at most ``max_words`` int32
+    registers.  The largest flush block (power of two <= ``max_unroll``)
+    that every count field can absorb without carry overflow is chosen;
+    layouts that cannot fit even single-byte flush blocks return None.
     """
     if getattr(machine, "composed_ci", False):
         return None
@@ -91,48 +156,15 @@ def plan_bitap(machine: AcMachine, max_unroll: int = 8) -> Optional[BitapLayout]
             return None  # empty needle (root piggyback) / NUL (pad bytes)
         mult[bytes(nd)] = mult.get(bytes(nd), 0) + 1
     uniq = sorted(mult, key=len)
-    if sum(len(n) for n in uniq) > MAX_TRACK_BITS:
+    if sum(len(n) for n in uniq) > max_words * MAX_TRACK_BITS:
         return None
 
     unroll = max_unroll
     while unroll >= 1:
         min_head = max(1, int(unroll).bit_length())  # unroll < 2**min_head
-        seed = 0
-        endmask = 0
-        btab = np.zeros(256, dtype=np.int64)
-        fields = []
-        off = 0
-        ok = True
-        for i, nd in enumerate(uniq):
-            if off + len(nd) > MAX_TRACK_BITS:
-                ok = False
-                break
-            seed |= 1 << off
-            for p, b in enumerate(nd):
-                btab[b] |= 1 << (off + p)
-            end = off + len(nd) - 1
-            endmask |= 1 << end
-            # headroom = gap to the next track's end bit (or to bit 30)
-            if i + 1 < len(uniq):
-                head = max(len(uniq[i + 1]), min_head)
-                nxt_off = end + 1 + (head - len(uniq[i + 1]))  # guard bits
-            else:
-                head = MAX_TRACK_BITS - end
-                nxt_off = None
-                if head < min_head:
-                    ok = False
-                    break
-            fields.append((end, head, mult[nd]))
-            if nxt_off is not None:
-                off = nxt_off
-        if ok and off <= MAX_TRACK_BITS:
-            return BitapLayout(
-                seed=seed,
-                endmask=endmask,
-                btab=btab,
-                fields=tuple(fields),
-                unroll=unroll,
-            )
+        words = _pack_words(uniq, mult, min_head)
+        if words is not None and len(words) <= max_words:
+            return BitapLayout(words=words, unroll=unroll)
         unroll //= 2
     return None
 
@@ -159,27 +191,27 @@ def _make_bitap_count_kernel(
     lay: BitapLayout,
 ):
     """Count kernel over a ``n_tiles * reps`` grid (same stream/rep/boundary
-    protocol as ``pallas_scan._make_count_kernel``).
+    protocol as ``pallas_scan._make_count_kernel``), generalized to V bitap
+    registers per stream (V independent B gathers + 3V dependent ALU ops
+    per byte).
 
     Masking: eligibility guarantees ``B[0] == 0``, so the first right-pad
-    byte zeroes the register and pads can never flag a match — only the
+    byte zeroes every register and pads can never flag a match — only the
     warm-up boundary needs masking (matches ending in a stream's warm-up
     replay are owned by the previous stream), so interior tiles run the
     unmasked body.
     """
     n_grid = n_tiles * reps
     unroll = lay.unroll
-    seed_i = int(lay.seed)
-    endmask_i = int(lay.endmask)
-    fold = lay.fold
+    V = lay.n_words
 
     def kernel(
         bscal_ref,  # SMEM [2] int32: [max warm_start, _]
-        btab_ref,  # [2, 128] int32 byte -> mask
+        btab_ref,  # [2V, 128] int32 byte -> mask, rows (2w, 2w+1) per word
         warm_ref,  # [R, 128] int32
         streams_ref,  # [T_TILE, R, 128] uint8 tile
         out_ref,  # [R, 128] int32 per-stream counts
-        d_scr,  # [R, 128] int32 bitap register
+        d_scr,  # [V, R, 128] int32 bitap registers
         cnt_scr,  # [R, 128] int32 counts
     ):
         tile = pl.program_id(0)
@@ -187,43 +219,49 @@ def _make_bitap_count_kernel(
 
         @pl.when(tmod == 0)
         def _init_d():
-            d_scr[:] = jnp.zeros((R, 128), jnp.int32)
+            d_scr[:] = jnp.zeros((V, R, 128), jnp.int32)
 
         @pl.when(tile == 0)
         def _init_cnt():
             cnt_scr[:] = jnp.zeros((R, 128), jnp.int32)
 
-        b_rows = _broadcast_rows(btab_ref[:], 2, R)
+        b_rows = _broadcast_rows(btab_ref[:], 2 * V, R)
         warm = warm_ref[:]
         t0 = tmod * T_TILE
 
         def make_body(masked):
             def body(u, carry):
-                D, counts = carry
-                blk = None
+                *D, counts = carry
+                D = list(D)
+                blk = [None] * V
                 for j in range(unroll):
                     t = u * unroll + j
-                    B = _b_of(streams_ref[t].astype(jnp.int32), b_rows, fold)
-                    D = ((D << 1) | jnp.int32(seed_i)) & B
-                    e = D & jnp.int32(endmask_i)
-                    if masked:
-                        e = jnp.where(t0 + t >= warm, e, 0)
-                    blk = e if blk is None else blk + e
-                for eb, h, w in lay.fields:
-                    f = (blk >> eb) & jnp.int32((1 << h) - 1)
-                    counts = counts + (f * jnp.int32(w) if w != 1 else f)
-                return D, counts
+                    byte = streams_ref[t].astype(jnp.int32)
+                    for w, wl in enumerate(lay.words):
+                        B = _b_of(byte, b_rows[2 * w : 2 * w + 2], wl.fold)
+                        D[w] = ((D[w] << 1) | jnp.int32(int(wl.seed))) & B
+                        e = D[w] & jnp.int32(int(wl.endmask))
+                        if masked:
+                            e = jnp.where(t0 + t >= warm, e, 0)
+                        blk[w] = e if blk[w] is None else blk[w] + e
+                for w, wl in enumerate(lay.words):
+                    for eb, h, wt in wl.fields:
+                        f = (blk[w] >> eb) & jnp.int32((1 << h) - 1)
+                        counts = counts + (f * jnp.int32(wt) if wt != 1 else f)
+                return (*D, counts)
 
             return body
 
         is_boundary = t0 < bscal_ref[0]
-        D, counts = jax.lax.cond(
+        carry0 = (*(d_scr[w] for w in range(V)), cnt_scr[:])
+        *D, counts = jax.lax.cond(
             is_boundary,
             lambda c: jax.lax.fori_loop(0, T_TILE // unroll, make_body(True), c),
             lambda c: jax.lax.fori_loop(0, T_TILE // unroll, make_body(False), c),
-            (d_scr[:], cnt_scr[:]),
+            carry0,
         )
-        d_scr[:] = D
+        for w in range(V):
+            d_scr[w] = D[w]
         cnt_scr[:] = counts
 
         @pl.when(tile == n_grid - 1)
@@ -240,15 +278,13 @@ def _make_bitap_contains_kernel(
     reps: int,
     lay: BitapLayout,
 ):
-    """Sticky existence kernel: OR the end bits; no masking at all (warm-up
-    bytes replay real corpus bytes, so a match there is a genuine match,
-    and pads zero the register — mirrors the dense sticky kernel's
-    warm-free design)."""
+    """Sticky existence kernel: OR the end bits of every word into one hit
+    register; no masking at all (warm-up bytes replay real corpus bytes, so
+    a match there is a genuine match, and pads zero the registers —
+    mirrors the dense sticky kernel's warm-free design)."""
     n_grid = n_tiles * reps
     unroll = lay.unroll
-    seed_i = int(lay.seed)
-    endmask_i = int(lay.endmask)
-    fold = lay.fold
+    V = lay.n_words
 
     def kernel(btab_ref, streams_ref, out_ref, d_scr, hit_scr):
         tile = pl.program_id(0)
@@ -256,27 +292,30 @@ def _make_bitap_contains_kernel(
 
         @pl.when(tmod == 0)
         def _init_d():
-            d_scr[:] = jnp.zeros((R, 128), jnp.int32)
+            d_scr[:] = jnp.zeros((V, R, 128), jnp.int32)
 
         @pl.when(tile == 0)
         def _init_hits():
             hit_scr[:] = jnp.zeros((R, 128), jnp.int32)
 
-        b_rows = _broadcast_rows(btab_ref[:], 2, R)
+        b_rows = _broadcast_rows(btab_ref[:], 2 * V, R)
 
         def body(u, carry):
-            D, hits = carry
+            *D, hits = carry
+            D = list(D)
             for j in range(unroll):
                 t = u * unroll + j
-                B = _b_of(streams_ref[t].astype(jnp.int32), b_rows, fold)
-                D = ((D << 1) | jnp.int32(seed_i)) & B
-                hits = hits | (D & jnp.int32(endmask_i))
-            return D, hits
+                byte = streams_ref[t].astype(jnp.int32)
+                for w, wl in enumerate(lay.words):
+                    B = _b_of(byte, b_rows[2 * w : 2 * w + 2], wl.fold)
+                    D[w] = ((D[w] << 1) | jnp.int32(int(wl.seed))) & B
+                    hits = hits | (D[w] & jnp.int32(int(wl.endmask)))
+            return (*D, hits)
 
-        D, hits = jax.lax.fori_loop(
-            0, T_TILE // unroll, body, (d_scr[:], hit_scr[:])
-        )
-        d_scr[:] = D
+        carry0 = (*(d_scr[w] for w in range(V)), hit_scr[:])
+        *D, hits = jax.lax.fori_loop(0, T_TILE // unroll, body, carry0)
+        for w in range(V):
+            d_scr[w] = D[w]
         hit_scr[:] = hits
 
         @pl.when(tile == n_grid - 1)
@@ -301,9 +340,10 @@ class BitapAcEngine(PallasAcEngine):
         if lay is None:
             raise ValueError("machine is not bitap-eligible; use plan_bitap first")
         self.bitap = lay
-        bt = np.zeros(256, dtype=np.int64)
-        bt[:] = lay.btab
-        self._btab_dev = jnp.asarray(bt.reshape(2, 128).astype(np.int32))
+        bt = np.stack([wl.btab for wl in lay.words])  # [V, 256]
+        self._btab_dev = jnp.asarray(
+            bt.reshape(2 * lay.n_words, 128).astype(np.int32)
+        )
         self._bitap_count = {}
         self._bitap_contains = {}
 
@@ -314,7 +354,7 @@ class BitapAcEngine(PallasAcEngine):
             kernel = _make_bitap_count_kernel(
                 self.t_tile, self.R, n_tiles, reps, self.bitap
             )
-            R, t_tile = self.R, self.t_tile
+            R, t_tile, V = self.R, self.t_tile, self.bitap.n_words
 
             @jax.jit
             def run(bscal, btab, warm, streams_u8):
@@ -324,7 +364,9 @@ class BitapAcEngine(PallasAcEngine):
                     grid=(n_tiles * reps,),
                     in_specs=[
                         pl.BlockSpec(memory_space=pltpu.SMEM),
-                        pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (2 * V, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                        ),
                         pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
                         pl.BlockSpec(
                             (t_tile, R, 128),
@@ -337,7 +379,7 @@ class BitapAcEngine(PallasAcEngine):
                     ),
                     out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
                     scratch_shapes=[
-                        pltpu.VMEM((R, 128), jnp.int32),
+                        pltpu.VMEM((V, R, 128), jnp.int32),
                         pltpu.VMEM((R, 128), jnp.int32),
                     ],
                     interpret=self.interpret,
@@ -361,7 +403,7 @@ class BitapAcEngine(PallasAcEngine):
             kernel = _make_bitap_contains_kernel(
                 self.t_tile, self.R, n_tiles, reps, self.bitap
             )
-            R, t_tile = self.R, self.t_tile
+            R, t_tile, V = self.R, self.t_tile, self.bitap.n_words
 
             @jax.jit
             def run(btab, streams_u8):
@@ -370,7 +412,9 @@ class BitapAcEngine(PallasAcEngine):
                     kernel,
                     grid=(n_tiles * reps,),
                     in_specs=[
-                        pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (2 * V, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                        ),
                         pl.BlockSpec(
                             (t_tile, R, 128),
                             lambda i: (i % n_tiles, 0, 0),
@@ -382,7 +426,7 @@ class BitapAcEngine(PallasAcEngine):
                     ),
                     out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
                     scratch_shapes=[
-                        pltpu.VMEM((R, 128), jnp.int32),
+                        pltpu.VMEM((V, R, 128), jnp.int32),
                         pltpu.VMEM((R, 128), jnp.int32),
                     ],
                     interpret=self.interpret,
@@ -405,8 +449,13 @@ class BitapAcEngine(PallasAcEngine):
         1-bit/position extraction scan also runs without dependent
         gathers."""
         lay = self.bitap
-        seed_i, endmask_i, fold = int(lay.seed), int(lay.endmask), lay.fold
-        fields = lay.fields
+        if lay.n_words != 1:
+            # The generic matchbits kernel carries ONE [R,128] scratch;
+            # multi-word registers fall back to the dense step family.
+            return super()._bits_tables()
+        wl = lay.words[0]
+        seed_i, endmask_i, fold = int(wl.seed), int(wl.endmask), wl.fold
+        fields = wl.fields
 
         def step_factory(table_refs, R):
             (btab_ref,) = table_refs
@@ -435,6 +484,11 @@ class BitapAcEngine(PallasAcEngine):
         """Per-unique-needle presence flags from ONE sticky scan (the bitap
         bonus: each track's end bit is a per-needle flag).  Returns a bool
         array aligned with ``machine.needles`` (duplicates share a flag)."""
+        if self.bitap.n_words != 1:
+            raise NotImplementedError(
+                "per-needle presence bits merge across words; available for "
+                "single-word layouts only"
+            )
         fn = self._get_contains_fn(st.plan.time_len, reps)
         out = np.asarray(fn(self._btab_dev, st.streams_dev))
         if st.live_np is not None:
@@ -445,8 +499,11 @@ class BitapAcEngine(PallasAcEngine):
             if bytes(nd) not in uniq:
                 uniq[bytes(nd)] = None
         order = sorted(uniq, key=len)
-        flag = {nd: bool(agg & (1 << eb)) for nd, (eb, _, _) in zip(order, self.bitap.fields)}
+        flag = {
+            nd: bool(agg & (1 << eb))
+            for nd, (eb, _, _) in zip(order, self.bitap.words[0].fields)
+        }
         return np.asarray([flag[bytes(nd)] for nd in self.machine.needles])
 
 
-__all__ = ["BitapAcEngine", "BitapLayout", "plan_bitap"]
+__all__ = ["BitapAcEngine", "BitapLayout", "WordLayout", "plan_bitap"]

@@ -171,9 +171,9 @@ class DistributedAcEngine:
 
                 self._bitap_lay = plan_bitap(machine)
             if self._bitap_lay is not None:
-                bt = np.resize(self._bitap_lay.btab, 256)
+                bt = np.stack([wl.btab for wl in self._bitap_lay.words])
                 self._btab_dev = jnp.asarray(
-                    bt.reshape(2, 128).astype(np.int32)
+                    bt.reshape(2 * self._bitap_lay.n_words, 128).astype(np.int32)
                 )
 
         if self.inner == "pallas":
@@ -415,6 +415,7 @@ class DistributedAcEngine:
         lay = dataclasses.replace(
             self._bitap_lay, unroll=ps._fit_unroll(self._bitap_lay.unroll, t_tile)
         )
+        V = lay.n_words
         kernel = bs._make_bitap_count_kernel(t_tile, R_local, n_tiles, 1, lay)
         interp = self._interpret
 
@@ -428,7 +429,7 @@ class DistributedAcEngine:
                 grid=(n_tiles,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2 * V, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec(
                         (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
                     ),
@@ -443,7 +444,7 @@ class DistributedAcEngine:
                 ),
                 out_shape=jax.ShapeDtypeStruct((R_local, 128), jnp.int32),
                 scratch_shapes=[
-                    pltpu.VMEM((R_local, 128), jnp.int32),
+                    pltpu.VMEM((V, R_local, 128), jnp.int32),
                     pltpu.VMEM((R_local, 128), jnp.int32),
                 ],
                 interpret=interp,
@@ -483,6 +484,7 @@ class DistributedAcEngine:
         lay = dataclasses.replace(
             self._bitap_lay, unroll=ps._fit_unroll(self._bitap_lay.unroll, t_tile)
         )
+        V = lay.n_words
         kernel = bs._make_bitap_contains_kernel(t_tile, R_local, n_tiles, 1, lay)
         interp = self._interpret
 
@@ -491,7 +493,7 @@ class DistributedAcEngine:
                 kernel,
                 grid=(n_tiles,),
                 in_specs=[
-                    pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2 * V, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec(
                         (t_tile, R_local, 128),
                         lambda i: (i, 0, 0),
@@ -503,7 +505,7 @@ class DistributedAcEngine:
                 ),
                 out_shape=jax.ShapeDtypeStruct((R_local, 128), jnp.int32),
                 scratch_shapes=[
-                    pltpu.VMEM((R_local, 128), jnp.int32),
+                    pltpu.VMEM((V, R_local, 128), jnp.int32),
                     pltpu.VMEM((R_local, 128), jnp.int32),
                 ],
                 interpret=interp,

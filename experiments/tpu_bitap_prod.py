@@ -39,7 +39,7 @@ def main():
 
     for max_unroll in (8, 16):
         lay = bitap_scan.plan_bitap(machine, max_unroll=max_unroll)
-        print(f"unroll={lay.unroll} fields={lay.fields}", flush=True)
+        print(f"unroll={lay.unroll} words={[(hex(w.seed), w.fields) for w in lay.words]}", flush=True)
         eng = bitap_scan.BitapAcEngine(machine)
         eng.bitap = lay  # override layout for the tuning sweep
         eng._bitap_count = {}

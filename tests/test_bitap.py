@@ -52,9 +52,9 @@ def test_duplicate_needles_multiplicity():
     needles = ["x", "x", "yy", "x"]
     m = ac.build([(n, i) for i, n in enumerate(needles)])
     lay = plan_bitap(m)
-    assert lay is not None
+    assert lay is not None and lay.n_words == 1
     # one track for "x" with weight 3
-    weights = sorted(w for _, _, w in lay.fields)
+    weights = sorted(w for _, _, w in lay.words[0].fields)
     assert weights == [1, 3]
     _check(needles, b"xyxyyxx" * 200)
 
@@ -62,7 +62,7 @@ def test_duplicate_needles_multiplicity():
 def test_non_ascii_needles_no_fold():
     m = ac.build([("café", 0), ("écl", 1)])
     lay = plan_bitap(m)
-    assert lay is not None and not lay.fold
+    assert lay is not None and not lay.words[0].fold
     _check(["café", "écl"], "un café éclair café".encode() * 100)
 
 
@@ -72,6 +72,54 @@ def test_single_byte_and_max_track():
     lay = plan_bitap(ac.build([(nd30, 0)]))
     assert lay is not None and lay.unroll == 1  # 1-bit final headroom
     _check([nd30], (nd30 + "pad").encode() * 40)
+
+
+def test_multiword_layouts():
+    # 31-90 track bytes: needles bin-pack into 2-3 int32 registers.
+    rng = np.random.default_rng(11)
+    needles = [
+        "".join(rng.choice(list("abcdef"), size=int(rng.integers(3, 9))))
+        for _ in range(12)
+    ]
+    needles = list(dict.fromkeys(needles))
+    total = sum(len(n) for n in needles)
+    assert total > 30, total
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    lay = plan_bitap(m)
+    assert lay is not None and 2 <= lay.n_words <= 3
+    # every needle has exactly one track somewhere
+    n_fields = sum(len(w.fields) for w in lay.words)
+    assert n_fields == len(needles)
+    corpus = synth_corpus(needles, 1 << 15, hit_fraction=0.08, seed=4)
+    eng, st, exp = _check(needles, corpus)
+    assert exp > 0
+    assert eng.count_staged(st, reps=2) == 2 * exp
+
+
+def test_multiword_fuzz():
+    rng = np.random.default_rng(77)
+    alphabet = "abAB12"
+    for trial in range(12):
+        needles = list(
+            dict.fromkeys(
+                "".join(rng.choice(list(alphabet), size=int(rng.integers(1, 8))))
+                for _ in range(int(rng.integers(7, 20)))
+            )
+        )
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        lay = plan_bitap(m)
+        if lay is None:  # > 90 track bits
+            continue
+        frags = needles + ["ab", "1", "BBA"]
+        hay = "".join(
+            frags[i]
+            for i in rng.integers(0, len(frags), size=int(rng.integers(30, 400)))
+        ).encode()
+        eng = _eng(m)
+        st = eng.stage(np.frombuffer(hay, dtype=np.uint8))
+        exp = ac.count_matches(m, hay)
+        assert eng.count_staged(st) == exp, (trial, needles, lay.n_words)
+        assert eng.contains_staged(st) == (exp > 0)
 
 
 def test_binary_corpus():
