@@ -55,6 +55,31 @@ def main():
         rate, sl = slope(lambda r: eng.contains_staged(st, reps=r), n_scan)
         print(f"  contains: {rate/1e9:.1f} GB/s", flush=True)
 
+    # Multi-word regimes: V=2 and V=3 machines (expected ~linear
+    # degradation in V; dense-kernel floor is ~165 GB/s).
+    rng = np.random.default_rng(11)
+    vocab = list("abcdefgh")
+    for n_needles in (9, 14):
+        needles = list(dict.fromkeys(
+            "".join(rng.choice(vocab, size=int(rng.integers(5, 8))))
+            for _ in range(n_needles + 4)
+        ))[:n_needles]
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        lay = bitap_scan.plan_bitap(m)
+        if lay is None:
+            print(f"n={n_needles}: not bitap-eligible, skipped", flush=True)
+            continue
+        corpus_v = synth_corpus(needles, N_MB << 20, hit_fraction=0.01, seed=7)
+        data_v = np.frombuffer(corpus_v, dtype=np.uint8)
+        exp_v = CppAcEngine(m).count(data_v)
+        eng = bitap_scan.BitapAcEngine(m)
+        st = eng.stage(data_v)
+        got = eng.count_staged(st)
+        n_scan = st.plan.time_len * eng.S
+        rate, sl = slope(lambda r: eng.count_staged(st, reps=r), n_scan)
+        print(f"V={lay.n_words} ({n_needles} needles): count {rate/1e9:.1f} GB/s "
+              f"parity {'OK' if got == exp_v else 'MISMATCH'}", flush=True)
+
 
 if __name__ == "__main__":
     main()
