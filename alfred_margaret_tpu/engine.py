@@ -634,6 +634,12 @@ class MatchEngine:
                 eng = self._pallas_engine()
                 if hasattr(eng, "value_presence"):  # grouped multi-pass engine
                     return eng.value_presence(data, len(m.values))
+                bitap = getattr(eng, "bitap", None)
+                if bitap is not None and bitap.n_words == 1:
+                    # ONE sticky bitap scan: each track's end bit is a
+                    # per-needle flag (value ids align with needle entries).
+                    st = text.device if _has_device(text) else eng.stage(data)
+                    return eng.needle_presence_staged(st)
                 if hasattr(eng, "match_positions_staged"):
                     # Device-side compaction: only hit states come back;
                     # reuse the staged device streams when given.

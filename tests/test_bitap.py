@@ -227,6 +227,36 @@ def test_needle_presence():
     assert pres.tolist() == [True, False, False, True]
 
 
+def test_value_presence_via_needle_bits(monkeypatch):
+    # MatchEngine.value_presence takes the ONE-sticky-scan path for
+    # single-word bitap engines (containsAll feeds off this).
+    from alfred_margaret_tpu.engine import MatchEngine
+    from alfred_margaret_tpu.utils.case import CASE_SENSITIVE
+
+    needles = ["tshirt", "shirts", "shorts", "tshirt"]
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    me = MatchEngine(m)
+    eng = _eng(m)
+    monkeypatch.setattr(me, "_pallas_engine", lambda: eng)
+    monkeypatch.setattr(me, "_pick", lambda n, staged=False: "pallas")
+    pres = me.value_presence(b"xx tshirt yy shorts" * 10, CASE_SENSITIVE)
+    assert list(pres) == [True, False, True, True]
+
+
+def test_streaming_over_bitap():
+    # Out-of-core chunked scanning composes with the bitap engine (chunk
+    # boundaries + cold-prefix replay subtraction over bitap count_staged).
+    from alfred_margaret_tpu.ops.streaming import StreamingScanner
+
+    needles = ["tshirt", "shirts", "shorts"]
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    eng = _eng(m)
+    corpus = b"tshirtshirtsshorts xx " * 900
+    sc = StreamingScanner(eng, m, chunk_bytes=4096)
+    data = np.frombuffer(corpus, dtype=np.uint8)
+    assert sc.count(data) == ac.count_matches(m, corpus)
+
+
 def test_host_bitap_oracle():
     # The C++ register-automaton implementation (native.cpp_engine
     # .CppBitapEngine): independent of the DFA tables AND of the Pallas
