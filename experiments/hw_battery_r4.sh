@@ -36,6 +36,7 @@ run() {
 }
 
 run env PROBE_MB=32 python experiments/tpu_bitap_bisect2.py
+run env PROBE_MB=32 python experiments/tpu_dense_interleave.py
 run env PROBE_MB=128 python experiments/tpu_bitap_prod.py
 run python bench.py
 echo "=== battery done $(date -u +%FT%TZ) ===" | tee -a "$LOG"
