@@ -638,8 +638,12 @@ class MatchEngine:
                 if bitap is not None and bitap.n_words == 1:
                     # ONE sticky bitap scan: each track's end bit is a
                     # per-needle flag (value ids align with needle entries).
+                    # None = a CI trap fired (flags could under-report);
+                    # fall through to the dense compaction path.
                     st = text.device if _has_device(text) else eng.stage(data)
-                    return eng.needle_presence_staged(st)
+                    pres = eng.needle_presence_staged(st)
+                    if pres is not None:
+                        return pres
                 if hasattr(eng, "match_positions_staged"):
                     # Device-side compaction: only hit states come back;
                     # reuse the staged device streams when given.

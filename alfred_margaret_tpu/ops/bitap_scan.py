@@ -26,15 +26,29 @@ Eligibility (``plan_bitap``): CaseSensitive byte semantics (not a composed
 case-folding DFA — its ``needles`` are original-case), no empty needle, no
 NUL byte in any needle (pad bytes must kill the register), and the track
 layout must fit 30 bits (bit 31 = int32 sign; each count field needs
-headroom for a flush block of ``2**min_head - 1`` bytes).  IgnoreCase scans
-reach this engine through the host lowering path exactly as they reach the
-dense kernel (lowered needles + lowered haystack are plain CS bytes).
+headroom for a flush block of ``2**min_head - 1`` bytes).
+
+IgnoreCase (``plan_bitap_ci``): shift-AND matches *byte-class* strings
+natively — each track position holds a SET of accepted bytes (the union of
+the same-length unlowerings of the needle code point's encoding, e.g.
+``{0x61, 0x41}`` for ``a``), so the composed case-folding regime
+(``models.case_dfa``: IgnoreCase on RAW bytes, no host lowering pass) runs
+at full bitap rate.  Exactness is a plan-time *closure gate* (every
+cartesian-product byte string must decode to a preimage of the needle code
+point — rejects e.g. Greek ``ω`` whose variant mix ``0xCF 0xA9`` decodes to
+a different letter) plus a runtime *trap word*: the 25 length-changing
+unlowerings in Unicode (İ→i, K→k, Å→å, ẞ→ß, Ɫ/Ɑ/…) cannot occupy a
+fixed-width track, so their encodings are tracked by one extra sticky
+register and any occurrence in the corpus falls the scan back to the
+composed dense kernel.  Real corpora contain none, so the guard is one
+extra independent gather per byte and the fallback never fires.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from itertools import product as _iproduct
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +58,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.ac import AcMachine
+from ..utils import utf8
 from .pallas_scan import PallasAcEngine, StagedStreams, _broadcast_rows
 
 #: Track budget: bit 31 must stay clear (int32 sign would corrupt compares
@@ -61,6 +76,9 @@ class WordLayout:
     btab: np.ndarray  # int64 [256] byte -> track mask
     #: per track: (end_bit, headroom_bits, multiplicity_weight)
     fields: Tuple[Tuple[int, int, int], ...]
+    #: per track: canonical needle key (CS: the needle bytes; CI: the
+    #: lowered-needle bytes), aligned with ``fields``
+    keys: Tuple[bytes, ...] = ()
 
     @property
     def fold(self) -> bool:
@@ -79,28 +97,46 @@ class BitapLayout:
 
     words: Tuple[WordLayout, ...]
     unroll: int  # flush block size (2**min_headroom > unroll, every field)
+    #: IgnoreCase trap register: sticky tracks for the length-changing
+    #: unlowering encodings excluded from the byte-class tracks; a hit
+    #: means the bitap result may under-count and the caller must fall
+    #: back to the composed dense kernel.  None = tracks are exact alone.
+    trap: Optional[WordLayout] = None
+    #: True for byte-class (composed IgnoreCase) layouts.
+    ci: bool = False
 
     @property
     def n_words(self) -> int:
         return len(self.words)
 
+    def all_words(self) -> Tuple[WordLayout, ...]:
+        """Match words + the trap word (if any), in kernel B-table order."""
+        return self.words + ((self.trap,) if self.trap is not None else ())
 
-def _pack_words(uniq, mult, min_head: int):
-    """Greedy sequential packing of ascending-length needles into 30-bit
-    words (tracks never span words; the shortest needle of each word goes
+
+#: A track: per-position accepted byte sets, a count weight, and the
+#: canonical needle key.  CS needles are singleton-set tracks.
+_Track = Tuple[Tuple[Tuple[int, ...], ...], int, bytes]
+
+
+def _pack_words(tracks: Sequence[_Track], min_head: int):
+    """Greedy sequential packing of ascending-length tracks into 30-bit
+    words (tracks never span words; the shortest track of each word goes
     first so later tracks' lengths double as count-field headroom)."""
     words = []
     i = 0
-    while i < len(uniq):
+    while i < len(tracks):
         seed = 0
         endmask = 0
         btab = np.zeros(256, dtype=np.int64)
         fields = []
+        keys = []
         off = 0
         took = 0
-        while i < len(uniq):
-            nd = uniq[i]
-            end = off + len(nd) - 1
+        while i < len(tracks):
+            possets, weight, key = tracks[i]
+            tlen = len(possets)
+            end = off + tlen - 1
             # A track may turn out to be the last in its word, so it must
             # leave min_head bits of final headroom; close the word early
             # and spill to the next one otherwise.
@@ -110,19 +146,22 @@ def _pack_words(uniq, mult, min_head: int):
             # word, or to bit 30 if it ends the word.  Place it, fix the
             # previous field's recorded headroom.
             seed |= 1 << off
-            for pp, b in enumerate(nd):
-                btab[b] |= 1 << (off + pp)
+            for pp, bset in enumerate(possets):
+                for b in bset:
+                    btab[b] |= 1 << (off + pp)
             endmask |= 1 << end
-            fields.append([end, MAX_TRACK_BITS - end, mult[nd]])
+            fields.append([end, MAX_TRACK_BITS - end, weight])
+            keys.append(key)
             if len(fields) > 1:
                 fields[-2][1] = end - fields[-2][0]
             took += 1
             i += 1
-            if i < len(uniq):
-                head = max(len(uniq[i]), min_head)
-                off = end + 1 + (head - len(uniq[i]))  # guard bits
+            if i < len(tracks):
+                nlen = len(tracks[i][0])
+                head = max(nlen, min_head)
+                off = end + 1 + (head - nlen)  # guard bits
         if took == 0:
-            return None  # single needle longer than a word
+            return None  # single track longer than a word
         assert all(h >= min_head for _, h, _ in fields)
         words.append(
             WordLayout(
@@ -130,9 +169,33 @@ def _pack_words(uniq, mult, min_head: int):
                 endmask=endmask,
                 btab=btab,
                 fields=tuple((e, h, w) for e, h, w in fields),
+                keys=tuple(keys),
             )
         )
     return tuple(words)
+
+
+def _plan_tracks(
+    tracks: Sequence[_Track],
+    max_unroll: int,
+    max_words: int,
+    trap: Optional[WordLayout] = None,
+    ci: bool = False,
+) -> Optional[BitapLayout]:
+    """Shared packing loop: the largest flush block (power of two <=
+    ``max_unroll``) that every count field can absorb without carry
+    overflow; None when even single-byte flush blocks cannot fit."""
+    if sum(len(t[0]) for t in tracks) > max_words * MAX_TRACK_BITS:
+        return None
+    tracks = sorted(tracks, key=lambda t: len(t[0]))
+    unroll = max_unroll
+    while unroll >= 1:
+        min_head = max(1, int(unroll).bit_length())  # unroll < 2**min_head
+        words = _pack_words(tracks, min_head)
+        if words is not None and len(words) <= max_words:
+            return BitapLayout(words=words, unroll=unroll, trap=trap, ci=ci)
+        unroll //= 2
+    return None
 
 
 def plan_bitap(
@@ -142,31 +205,139 @@ def plan_bitap(
 
     Unique needles get one track each (duplicates fold into the field's
     multiplicity weight), bin-packed into at most ``max_words`` int32
-    registers.  The largest flush block (power of two <= ``max_unroll``)
-    that every count field can absorb without carry overflow is chosen;
-    layouts that cannot fit even single-byte flush blocks return None.
+    registers.
     """
     if getattr(machine, "composed_ci", False):
         return None
     if not machine.needles:
         return None
-    mult: dict = {}
+    mult: Dict[bytes, int] = {}
     for nd in machine.needles:
         if len(nd) == 0 or 0 in nd:
             return None  # empty needle (root piggyback) / NUL (pad bytes)
         mult[bytes(nd)] = mult.get(bytes(nd), 0) + 1
-    uniq = sorted(mult, key=len)
-    if sum(len(n) for n in uniq) > max_words * MAX_TRACK_BITS:
-        return None
+    tracks = [
+        (tuple((b,) for b in nd), w, nd) for nd, w in mult.items()
+    ]
+    return _plan_tracks(tracks, max_unroll, max_words)
 
-    unroll = max_unroll
-    while unroll >= 1:
-        min_head = max(1, int(unroll).bit_length())  # unroll < 2**min_head
-        words = _pack_words(uniq, mult, min_head)
-        if words is not None and len(words) <= max_words:
-            return BitapLayout(words=words, unroll=unroll)
-        unroll //= 2
-    return None
+
+def _needle_cps(nd: bytes) -> Optional[List[int]]:
+    """Strict whole-code-point parse of a needle, or None if any byte is
+    not part of a valid minimal sequence (such needles are not composed-CI
+    eligible in the first place, ``models.case_dfa.eligible``)."""
+    cps = []
+    i, n = 0, len(nd)
+    while i < n:
+        consumed, cp, valid = utf8.decode_strict(nd, i)
+        if not valid:
+            return None
+        cps.append(cp)
+        i += consumed
+    return cps
+
+
+def ci_track_key(nd: bytes) -> Optional[bytes]:
+    """Canonical IgnoreCase track key: the lowered needle, re-encoded.
+    None when the needle is not whole-code-point strict UTF-8."""
+    cps = _needle_cps(bytes(nd))
+    if cps is None:
+        return None
+    return "".join(chr(int(utf8.LOWER_TABLE[cp])) for cp in cps).encode("utf-8")
+
+
+def _ci_cp_sets(cp: int):
+    """Per-byte accepted sets + trap encodings for one lowered code point.
+
+    Returns ``(possets, traps)`` or None when the closure gate fails:
+    ``possets`` accept exactly the same-length unlowerings of ``cp`` (every
+    cartesian-product byte string must be strict-valid UTF-8 decoding to a
+    preimage — otherwise a mixed-variant byte string would either decode to
+    a different letter or pass through as invalid bytes, both over-matches),
+    ``traps`` are the encodings of length-changing unlowerings (İ→i class),
+    which the track cannot hold and the runtime trap word must guard.
+    """
+    pre = [ord(u) for u in utf8.unlower_code_point(chr(cp))]
+    if cp not in pre:
+        return None  # cp is not its own lowering: no fixed-width language
+    enc = chr(cp).encode("utf-8")
+    L = len(enc)
+    same, traps = [], []
+    for u in pre:
+        ue = chr(u).encode("utf-8")
+        (same if len(ue) == L else traps).append(ue)
+    possets = tuple(
+        tuple(sorted({ue[j] for ue in same})) for j in range(L)
+    )
+    if any(0 in s for s in possets):
+        return None  # NUL must stay register-killing (pad bytes)
+    preset = set(pre)
+    for combo in _iproduct(*possets):
+        bs = bytes(combo)
+        consumed, val, valid = utf8.decode_strict(bs, 0)
+        if not (valid and consumed == L and val in preset):
+            return None  # closure gate: product would over-match
+    return possets, traps
+
+
+def plan_bitap_ci(
+    machine: AcMachine, max_unroll: int = 8, max_words: int = 3
+) -> Optional[BitapLayout]:
+    """Byte-class track layout for a composed case-folding DFA, or None.
+
+    One track per unique *lowered* needle (original-case duplicates fold
+    into the multiplicity weight: ``Foo`` and ``foo`` are the same CI
+    emission stream, matching the composed DFA's per-state counts); each
+    track position accepts the union of that code point's same-length
+    unlowering bytes, with the closure gate of :func:`_ci_cp_sets`.
+    Length-changing unlowerings pack into the sticky trap word.
+    """
+    if not getattr(machine, "composed_ci", False):
+        return None
+    if not machine.needles:
+        return None
+    mult: Dict[bytes, int] = {}
+    cps_of: Dict[bytes, List[int]] = {}
+    for nd in machine.needles:
+        nd = bytes(nd)
+        if len(nd) == 0:
+            return None
+        cps = _needle_cps(nd)
+        if cps is None:
+            return None
+        key = "".join(chr(int(utf8.LOWER_TABLE[cp])) for cp in cps).encode(
+            "utf-8"
+        )
+        mult[key] = mult.get(key, 0) + 1
+        cps_of[key] = [int(utf8.LOWER_TABLE[cp]) for cp in cps]
+
+    tracks: List[_Track] = []
+    trap_encs: Dict[bytes, None] = {}
+    cache: Dict[int, Optional[Tuple]] = {}
+    for key, w in mult.items():
+        possets: List[Tuple[int, ...]] = []
+        for cp in cps_of[key]:
+            if cp not in cache:
+                cache[cp] = _ci_cp_sets(cp)
+            got = cache[cp]
+            if got is None:
+                return None
+            ps, traps = got
+            possets.extend(ps)
+            for t in traps:
+                trap_encs.setdefault(t, None)
+        tracks.append((tuple(possets), w, key))
+
+    trap = None
+    if trap_encs:
+        trap_tracks = [
+            (tuple((b,) for b in enc), 0, enc) for enc in trap_encs
+        ]
+        packed = _pack_words(sorted(trap_tracks, key=lambda t: len(t[0])), 1)
+        if packed is None or len(packed) != 1:
+            return None  # absurd needle set: too many distinct trap letters
+        trap = packed[0]
+    return _plan_tracks(tracks, max_unroll, max_words, trap=trap, ci=True)
 
 
 def _b_of(byte_rc, b_rows, fold: bool):
@@ -200,38 +371,47 @@ def _make_bitap_count_kernel(
     warm-up boundary needs masking (matches ending in a stream's warm-up
     replay are owned by the previous stream), so interior tiles run the
     unmasked body.
+
+    Trap layouts (IgnoreCase) carry one extra register + an extra sticky
+    scratch and emit a second ``[R, 128]`` output of trap flags; the
+    caller must fall back to the dense kernel when any flag is set.
     """
     n_grid = n_tiles * reps
     unroll = lay.unroll
     V = lay.n_words
+    trap = lay.trap
+    VT = V + (1 if trap is not None else 0)
 
-    def kernel(
-        bscal_ref,  # SMEM [2] int32: [max warm_start, _]
-        btab_ref,  # [2V, 128] int32 byte -> mask, rows (2w, 2w+1) per word
-        warm_ref,  # [R, 128] int32
-        streams_ref,  # [T_TILE, R, 128] uint8 tile
-        out_ref,  # [R, 128] int32 per-stream counts
-        d_scr,  # [V, R, 128] int32 bitap registers
-        cnt_scr,  # [R, 128] int32 counts
-    ):
+    def kernel(bscal_ref, btab_ref, warm_ref, streams_ref, *refs):
+        if trap is not None:
+            out_ref, trap_ref, d_scr, cnt_scr, trap_scr = refs
+        else:
+            out_ref, d_scr, cnt_scr = refs
+            trap_ref = trap_scr = None
         tile = pl.program_id(0)
         tmod = jax.lax.rem(tile, n_tiles) if reps > 1 else tile
 
         @pl.when(tmod == 0)
         def _init_d():
-            d_scr[:] = jnp.zeros((V, R, 128), jnp.int32)
+            d_scr[:] = jnp.zeros((VT, R, 128), jnp.int32)
 
         @pl.when(tile == 0)
         def _init_cnt():
             cnt_scr[:] = jnp.zeros((R, 128), jnp.int32)
+            if trap is not None:
+                trap_scr[:] = jnp.zeros((R, 128), jnp.int32)
 
-        b_rows = _broadcast_rows(btab_ref[:], 2 * V, R)
+        b_rows = _broadcast_rows(btab_ref[:], 2 * VT, R)
         warm = warm_ref[:]
         t0 = tmod * T_TILE
 
         def make_body(masked):
             def body(u, carry):
-                *D, counts = carry
+                if trap is not None:
+                    *D, counts, tr = carry
+                else:
+                    *D, counts = carry
+                    tr = None
                 D = list(D)
                 blk = [None] * V
                 for j in range(unroll):
@@ -244,29 +424,42 @@ def _make_bitap_count_kernel(
                         if masked:
                             e = jnp.where(t0 + t >= warm, e, 0)
                         blk[w] = e if blk[w] is None else blk[w] + e
+                    if trap is not None:
+                        B = _b_of(byte, b_rows[2 * V : 2 * V + 2], trap.fold)
+                        D[V] = ((D[V] << 1) | jnp.int32(int(trap.seed))) & B
+                        tr = tr | (D[V] & jnp.int32(int(trap.endmask)))
                 for w, wl in enumerate(lay.words):
                     for eb, h, wt in wl.fields:
                         f = (blk[w] >> eb) & jnp.int32((1 << h) - 1)
                         counts = counts + (f * jnp.int32(wt) if wt != 1 else f)
-                return (*D, counts)
+                return (*D, counts, tr) if trap is not None else (*D, counts)
 
             return body
 
         is_boundary = t0 < bscal_ref[0]
-        carry0 = (*(d_scr[w] for w in range(V)), cnt_scr[:])
-        *D, counts = jax.lax.cond(
+        carry0 = (*(d_scr[w] for w in range(VT)), cnt_scr[:])
+        if trap is not None:
+            carry0 = (*carry0, trap_scr[:])
+        out = jax.lax.cond(
             is_boundary,
             lambda c: jax.lax.fori_loop(0, T_TILE // unroll, make_body(True), c),
             lambda c: jax.lax.fori_loop(0, T_TILE // unroll, make_body(False), c),
             carry0,
         )
-        for w in range(V):
+        if trap is not None:
+            *D, counts, tr = out
+            trap_scr[:] = tr
+        else:
+            *D, counts = out
+        for w in range(VT):
             d_scr[w] = D[w]
         cnt_scr[:] = counts
 
         @pl.when(tile == n_grid - 1)
         def _fin():
             out_ref[:] = cnt_scr[:]
+            if trap is not None:
+                trap_ref[:] = trap_scr[:]
 
     return kernel
 
@@ -281,27 +474,41 @@ def _make_bitap_contains_kernel(
     """Sticky existence kernel: OR the end bits of every word into one hit
     register; no masking at all (warm-up bytes replay real corpus bytes, so
     a match there is a genuine match, and pads zero the registers —
-    mirrors the dense sticky kernel's warm-free design)."""
+    mirrors the dense sticky kernel's warm-free design).  Trap layouts emit
+    a second sticky trap output (see the count kernel)."""
     n_grid = n_tiles * reps
     unroll = lay.unroll
     V = lay.n_words
+    trap = lay.trap
+    VT = V + (1 if trap is not None else 0)
 
-    def kernel(btab_ref, streams_ref, out_ref, d_scr, hit_scr):
+    def kernel(btab_ref, streams_ref, *refs):
+        if trap is not None:
+            out_ref, trap_ref, d_scr, hit_scr, trap_scr = refs
+        else:
+            out_ref, d_scr, hit_scr = refs
+            trap_ref = trap_scr = None
         tile = pl.program_id(0)
         tmod = jax.lax.rem(tile, n_tiles) if reps > 1 else tile
 
         @pl.when(tmod == 0)
         def _init_d():
-            d_scr[:] = jnp.zeros((V, R, 128), jnp.int32)
+            d_scr[:] = jnp.zeros((VT, R, 128), jnp.int32)
 
         @pl.when(tile == 0)
         def _init_hits():
             hit_scr[:] = jnp.zeros((R, 128), jnp.int32)
+            if trap is not None:
+                trap_scr[:] = jnp.zeros((R, 128), jnp.int32)
 
-        b_rows = _broadcast_rows(btab_ref[:], 2 * V, R)
+        b_rows = _broadcast_rows(btab_ref[:], 2 * VT, R)
 
         def body(u, carry):
-            *D, hits = carry
+            if trap is not None:
+                *D, hits, tr = carry
+            else:
+                *D, hits = carry
+                tr = None
             D = list(D)
             for j in range(unroll):
                 t = u * unroll + j
@@ -310,17 +517,30 @@ def _make_bitap_contains_kernel(
                     B = _b_of(byte, b_rows[2 * w : 2 * w + 2], wl.fold)
                     D[w] = ((D[w] << 1) | jnp.int32(int(wl.seed))) & B
                     hits = hits | (D[w] & jnp.int32(int(wl.endmask)))
-            return (*D, hits)
+                if trap is not None:
+                    B = _b_of(byte, b_rows[2 * V : 2 * V + 2], trap.fold)
+                    D[V] = ((D[V] << 1) | jnp.int32(int(trap.seed))) & B
+                    tr = tr | (D[V] & jnp.int32(int(trap.endmask)))
+            return (*D, hits, tr) if trap is not None else (*D, hits)
 
-        carry0 = (*(d_scr[w] for w in range(V)), hit_scr[:])
-        *D, hits = jax.lax.fori_loop(0, T_TILE // unroll, body, carry0)
-        for w in range(V):
+        carry0 = (*(d_scr[w] for w in range(VT)), hit_scr[:])
+        if trap is not None:
+            carry0 = (*carry0, trap_scr[:])
+        out = jax.lax.fori_loop(0, T_TILE // unroll, body, carry0)
+        if trap is not None:
+            *D, hits, tr = out
+            trap_scr[:] = tr
+        else:
+            *D, hits = out
+        for w in range(VT):
             d_scr[w] = D[w]
         hit_scr[:] = hits
 
         @pl.when(tile == n_grid - 1)
         def _fin():
             out_ref[:] = hit_scr[:]
+            if trap is not None:
+                trap_ref[:] = trap_scr[:]
 
     return kernel
 
@@ -331,30 +551,38 @@ class BitapAcEngine(PallasAcEngine):
     Everything else (staging, stream plans, state/extraction kernels,
     adopt_staged, bitmap paths) is inherited from the dense engine — the
     dense tables for bitap-eligible machines are tiny, so carrying both
-    costs nothing and keeps the full engine surface intact.
+    costs nothing and keeps the full engine surface intact.  For composed
+    IgnoreCase machines (``layout.ci``), the inherited dense paths are the
+    composed-DFA kernels, which double as the trap-fire fallback.
     """
 
-    def __init__(self, machine: AcMachine, **kw):
+    def __init__(self, machine: AcMachine, layout: Optional[BitapLayout] = None, **kw):
         super().__init__(machine, **kw)
-        lay = plan_bitap(machine)
+        lay = layout if layout is not None else plan_bitap(machine)
         if lay is None:
             raise ValueError("machine is not bitap-eligible; use plan_bitap first")
         self.bitap = lay
-        bt = np.stack([wl.btab for wl in lay.words])  # [V, 256]
+        wl_all = lay.all_words()
+        bt = np.stack([wl.btab for wl in wl_all])  # [VT, 256]
         self._btab_dev = jnp.asarray(
-            bt.reshape(2 * lay.n_words, 128).astype(np.int32)
+            bt.reshape(2 * len(wl_all), 128).astype(np.int32)
         )
         self._bitap_count = {}
         self._bitap_contains = {}
 
-    def _get_count_fn(self, T: int, reps: int = 1):
+    def _get_bitap_count_fn(self, T: int, reps: int = 1):
         key = (T, reps)
         if key not in self._bitap_count:
             n_tiles = T // self.t_tile
+            lay = self.bitap
             kernel = _make_bitap_count_kernel(
-                self.t_tile, self.R, n_tiles, reps, self.bitap
+                self.t_tile, self.R, n_tiles, reps, lay
             )
-            R, t_tile, V = self.R, self.t_tile, self.bitap.n_words
+            R, t_tile = self.R, self.t_tile
+            VT = len(lay.all_words())
+            has_trap = lay.trap is not None
+            rc_spec = pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            rc_shape = jax.ShapeDtypeStruct((R, 128), jnp.int32)
 
             @jax.jit
             def run(bscal, btab, warm, streams_u8):
@@ -365,23 +593,22 @@ class BitapAcEngine(PallasAcEngine):
                     in_specs=[
                         pl.BlockSpec(memory_space=pltpu.SMEM),
                         pl.BlockSpec(
-                            (2 * V, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                            (2 * VT, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
                         ),
-                        pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        rc_spec,
                         pl.BlockSpec(
                             (t_tile, R, 128),
                             lambda i: (i % n_tiles, 0, 0),
                             memory_space=pltpu.VMEM,
                         ),
                     ],
-                    out_specs=pl.BlockSpec(
-                        (R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
-                    ),
-                    out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+                    out_specs=[rc_spec, rc_spec] if has_trap else rc_spec,
+                    out_shape=[rc_shape, rc_shape] if has_trap else rc_shape,
                     scratch_shapes=[
-                        pltpu.VMEM((V, R, 128), jnp.int32),
+                        pltpu.VMEM((VT, R, 128), jnp.int32),
                         pltpu.VMEM((R, 128), jnp.int32),
-                    ],
+                    ]
+                    + ([pltpu.VMEM((R, 128), jnp.int32)] if has_trap else []),
                     interpret=self.interpret,
                 )(bscal, btab, warm, streams)
 
@@ -389,21 +616,37 @@ class BitapAcEngine(PallasAcEngine):
         return self._bitap_count[key]
 
     def count_staged(self, st: StagedStreams, reps: int = 1) -> int:
-        fn = self._get_count_fn(st.plan.time_len, reps)
-        counts = fn(self._bscal_for(st), self._btab_dev, st.warm_t, st.streams_dev)
-        counts = np.asarray(counts, dtype=np.int64)
+        fn = self._get_bitap_count_fn(st.plan.time_len, reps)
+        out = fn(self._bscal_for(st), self._btab_dev, st.warm_t, st.streams_dev)
+        if self.bitap.trap is not None:
+            counts, trap = (np.asarray(o) for o in out)
+            if st.live_np is not None:
+                trap = trap[st.live_np]
+            if (trap != 0).any():
+                # A length-changing unlowering (İ/K/Å/ẞ/… ) occurs in the
+                # corpus: the byte-class tracks may under-count; rerun on
+                # the exact composed dense kernel.
+                return super().count_staged(st, reps)
+        else:
+            counts = np.asarray(out)
+        counts = counts.astype(np.int64)
         if st.live_np is not None:
             counts = counts[st.live_np]
         return int(counts.sum())
 
-    def _get_contains_fn(self, T: int, reps: int = 1):
+    def _get_bitap_contains_fn(self, T: int, reps: int = 1):
         key = (T, reps)
         if key not in self._bitap_contains:
             n_tiles = T // self.t_tile
+            lay = self.bitap
             kernel = _make_bitap_contains_kernel(
-                self.t_tile, self.R, n_tiles, reps, self.bitap
+                self.t_tile, self.R, n_tiles, reps, lay
             )
-            R, t_tile, V = self.R, self.t_tile, self.bitap.n_words
+            R, t_tile = self.R, self.t_tile
+            VT = len(lay.all_words())
+            has_trap = lay.trap is not None
+            rc_spec = pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            rc_shape = jax.ShapeDtypeStruct((R, 128), jnp.int32)
 
             @jax.jit
             def run(btab, streams_u8):
@@ -413,7 +656,7 @@ class BitapAcEngine(PallasAcEngine):
                     grid=(n_tiles * reps,),
                     in_specs=[
                         pl.BlockSpec(
-                            (2 * V, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                            (2 * VT, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
                         ),
                         pl.BlockSpec(
                             (t_tile, R, 128),
@@ -421,26 +664,41 @@ class BitapAcEngine(PallasAcEngine):
                             memory_space=pltpu.VMEM,
                         ),
                     ],
-                    out_specs=pl.BlockSpec(
-                        (R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
-                    ),
-                    out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+                    out_specs=[rc_spec, rc_spec] if has_trap else rc_spec,
+                    out_shape=[rc_shape, rc_shape] if has_trap else rc_shape,
                     scratch_shapes=[
-                        pltpu.VMEM((V, R, 128), jnp.int32),
+                        pltpu.VMEM((VT, R, 128), jnp.int32),
                         pltpu.VMEM((R, 128), jnp.int32),
-                    ],
+                    ]
+                    + ([pltpu.VMEM((R, 128), jnp.int32)] if has_trap else []),
                     interpret=self.interpret,
                 )(btab, streams)
 
             self._bitap_contains[key] = run
         return self._bitap_contains[key]
 
-    def contains_staged(self, st: StagedStreams, reps: int = 1) -> bool:
-        fn = self._get_contains_fn(st.plan.time_len, reps)
-        out = np.asarray(fn(self._btab_dev, st.streams_dev))
+    def _contains_raw(self, st: StagedStreams, reps: int = 1):
+        """(hits_any, trap_any) over live streams."""
+        fn = self._get_bitap_contains_fn(st.plan.time_len, reps)
+        out = fn(self._btab_dev, st.streams_dev)
+        if self.bitap.trap is not None:
+            hits, trap = (np.asarray(o) for o in out)
+        else:
+            hits, trap = np.asarray(out), None
         if st.live_np is not None:
-            out = out[st.live_np]
-        return bool((out != 0).any())
+            hits = hits[st.live_np]
+            trap = trap[st.live_np] if trap is not None else None
+        return bool((hits != 0).any()), bool(
+            trap is not None and (trap != 0).any()
+        )
+
+    def contains_staged(self, st: StagedStreams, reps: int = 1) -> bool:
+        hit, trapped = self._contains_raw(st, reps)
+        if hit:
+            return True  # a track hit is a genuine match even under traps
+        if trapped:
+            return super().contains_staged(st, reps)
+        return False
 
     def _bits_tables(self):
         """Bitap step family for the match-bitmap extraction kernel
@@ -449,9 +707,10 @@ class BitapAcEngine(PallasAcEngine):
         1-bit/position extraction scan also runs without dependent
         gathers."""
         lay = self.bitap
-        if lay.n_words != 1:
+        if lay.n_words != 1 or lay.trap is not None:
             # The generic matchbits kernel carries ONE [R,128] scratch;
-            # multi-word registers fall back to the dense step family.
+            # multi-word registers and trap-guarded CI layouts fall back
+            # to the dense step family (exact in both cases).
             return super()._bits_tables()
         wl = lay.words[0]
         seed_i, endmask_i, fold = int(wl.seed), int(wl.endmask), wl.fold
@@ -480,30 +739,50 @@ class BitapAcEngine(PallasAcEngine):
         )
         return (self._btab_dev,), specs, step_factory
 
-    def needle_presence_staged(self, st: StagedStreams, reps: int = 1) -> np.ndarray:
+    def _needle_key(self, nd) -> Optional[bytes]:
+        """The track key a needle's flag lives under (CS: its bytes; CI:
+        its lowered re-encoding)."""
+        return ci_track_key(nd) if self.bitap.ci else bytes(nd)
+
+    def needle_presence_staged(
+        self, st: StagedStreams, reps: int = 1
+    ) -> Optional[np.ndarray]:
         """Per-unique-needle presence flags from ONE sticky scan (the bitap
         bonus: each track's end bit is a per-needle flag).  Returns a bool
-        array aligned with ``machine.needles`` (duplicates share a flag)."""
+        array aligned with ``machine.needles`` (duplicates share a flag),
+        or None when a trap fired (flags could under-report; the caller
+        must use a dense path)."""
         if self.bitap.n_words != 1:
             raise NotImplementedError(
                 "per-needle presence bits merge across words; available for "
                 "single-word layouts only"
             )
-        fn = self._get_contains_fn(st.plan.time_len, reps)
-        out = np.asarray(fn(self._btab_dev, st.streams_dev))
+        fn = self._get_bitap_contains_fn(st.plan.time_len, reps)
+        out = fn(self._btab_dev, st.streams_dev)
+        if self.bitap.trap is not None:
+            hits, trap = (np.asarray(o) for o in out)
+            if st.live_np is not None:
+                trap = trap[st.live_np]
+            if (trap != 0).any():
+                return None
+        else:
+            hits = np.asarray(out)
         if st.live_np is not None:
-            out = out[st.live_np]
-        agg = np.bitwise_or.reduce(out.reshape(-1).astype(np.int64), initial=0)
-        uniq = {}
-        for nd in self.machine.needles:
-            if bytes(nd) not in uniq:
-                uniq[bytes(nd)] = None
-        order = sorted(uniq, key=len)
+            hits = hits[st.live_np]
+        agg = np.bitwise_or.reduce(hits.reshape(-1).astype(np.int64), initial=0)
+        wl = self.bitap.words[0]
         flag = {
-            nd: bool(agg & (1 << eb))
-            for nd, (eb, _, _) in zip(order, self.bitap.words[0].fields)
+            key: bool(agg & (1 << eb))
+            for key, (eb, _, _) in zip(wl.keys, wl.fields)
         }
-        return np.asarray([flag[bytes(nd)] for nd in self.machine.needles])
+        return np.asarray([flag[self._needle_key(nd)] for nd in self.machine.needles])
 
 
-__all__ = ["BitapAcEngine", "BitapLayout", "WordLayout", "plan_bitap"]
+__all__ = [
+    "BitapAcEngine",
+    "BitapLayout",
+    "WordLayout",
+    "ci_track_key",
+    "plan_bitap",
+    "plan_bitap_ci",
+]

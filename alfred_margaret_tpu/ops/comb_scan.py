@@ -932,12 +932,31 @@ def make_pallas_engine(machine: AcMachine, max_rows: int = MAX_ROWS, **kw):
     """
     import os
 
+    try:
+        kind, gcost = plan_pallas(machine, max_rows)
+    except CapacityError:
+        kind = gcost = None  # nothing single-pass fits; bitap may still
     if os.environ.get("AMT_BITAP") != "0":
-        from .bitap_scan import BitapAcEngine, plan_bitap
+        from .bitap_scan import BitapAcEngine, plan_bitap, plan_bitap_ci
 
-        if plan_bitap(machine) is not None:
-            return BitapAcEngine(machine, max_rows=max_rows, **kw)
-    kind, _ = plan_pallas(machine, max_rows)
+        # Word budget: bitap runs at ~220/V GB/s under load (measured
+        # V-sweep, docs/ROUND4.md) vs the ladder's ~165/gathers, i.e. one
+        # bitap word costs ~0.75 dependent-gather-equivalents — so extend
+        # the bitap regime to floor(4/3 * gather_cost) words.  Never below
+        # 3 (bitap measured faster than dense at every eligible V <= 3
+        # regardless of the dense table's nominal row count), capped at 8
+        # (~240 track bytes; past that comb16's ~25 GB/s wins).
+        budget = 8 if gcost is None else max(3, min(8, int(gcost) * 4 // 3))
+        lay = plan_bitap(machine, max_words=budget)
+        if lay is None and getattr(machine, "composed_ci", False):
+            # Composed IgnoreCase machines take the byte-class bitap with
+            # the length-changing-unlowering trap guard (ops.bitap_scan).
+            lay = plan_bitap_ci(machine, max_words=budget)
+        if lay is not None:
+            return BitapAcEngine(machine, layout=lay, max_rows=max_rows, **kw)
+    if kind is None:
+        # Re-derive the CapacityError message for the grouped fallback.
+        plan_pallas(machine, max_rows)
     if kind == "comb16":
         from .comb16_scan import Comb16PallasAcEngine
 
