@@ -167,9 +167,20 @@ class DistributedAcEngine:
             import os as _os
 
             if _os.environ.get("AMT_BITAP") != "0":
-                from ..ops.bitap_scan import plan_bitap
+                from ..ops.bitap_scan import plan_bitap, plan_bitap_ci
 
                 self._bitap_lay = plan_bitap(machine)
+                if self._bitap_lay is None and getattr(
+                    machine, "composed_ci", False
+                ):
+                    # Composed IgnoreCase: only TRAPLESS byte-class layouts
+                    # (no i/k/å/… letters) ride the bitap inner — the
+                    # trap-fire fallback would need a second compiled mesh
+                    # program, so trap-bearing sets stay on the exact
+                    # dense inner (ops.bitap_scan docstring).
+                    lay = plan_bitap_ci(machine)
+                    if lay is not None and lay.trap is None:
+                        self._bitap_lay = lay
             if self._bitap_lay is not None:
                 bt = np.stack([wl.btab for wl in self._bitap_lay.words])
                 self._btab_dev = jnp.asarray(

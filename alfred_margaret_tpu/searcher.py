@@ -181,7 +181,7 @@ class Searcher:
         searcher needs raw ones (stage the raw text instead)."""
         return self._engine.adopt_staged(staged, self._case)
 
-    def distributed(self, mesh, inner: str = "auto"):
+    def distributed(self, mesh, inner: str = "auto", **kw):
         """A ``parallel.DistributedAcEngine`` scanning this searcher's
         automaton over a ``(data, seq, needle)`` device mesh (counts via
         ``psum``, match sets identical to single-chip for any mesh shape).
@@ -205,7 +205,7 @@ class Searcher:
             from .models import case_dfa
 
             sub_build = case_dfa.compose_build  # needle groups stay composed
-        return DistributedAcEngine(machine, mesh, inner=inner, sub_build=sub_build)
+        return DistributedAcEngine(machine, mesh, inner=inner, sub_build=sub_build, **kw)
 
     def contains_any(self, haystack: utf8.TextLike) -> bool:
         """True iff any needle occurs (``containsAny``, ``Searcher.hs:156-164``)."""

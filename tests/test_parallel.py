@@ -386,3 +386,38 @@ def test_empty_needle_not_needle_shardable():
 
     eng = MatchEngine(m, engine="auto")
     assert eng.count(hay, CASE_SENSITIVE) == expected
+
+
+def test_ci_bitap_inner_trapless(monkeypatch):
+    """Trapless composed-CI machines (no i/k/å/… letters) ride the bitap
+    inner on data/seq meshes; counts equal the scalar IgnoreCase oracle."""
+    from alfred_margaret_tpu.models import case_dfa
+    from alfred_margaret_tpu.utils.case import IGNORE_CASE
+
+    m = ac.build([(n, i) for i, n in enumerate(["dress", "shoe", "glove"])])
+    cm = case_dfa.compose_build(list(zip(m.needles, m.values)), machine=m)
+    hay = b"DRESS and shoe and GlOvE and dReSs plus filler " * 250
+    mesh = make_mesh(jax.devices()[:4], data=2, seq=2)
+    engine = DistributedAcEngine(cm, mesh, inner="pallas", interpret=True)
+    assert engine._bitap_lay is not None and engine._bitap_lay.ci
+    assert engine._bitap_lay.trap is None
+    st = engine.stage(hay)
+    exp = ac.count_matches(m, hay, IGNORE_CASE)
+    assert engine.count_staged(st) == exp
+    assert engine.contains_any(st) == (exp > 0)
+
+
+def test_ci_bitap_inner_trap_bearing_stays_dense():
+    """Trap-bearing CI sets ('i' pulls the İ trap) must NOT engage the
+    mesh bitap inner (no second compiled fallback program on the mesh) —
+    they keep the exact dense inner."""
+    from alfred_margaret_tpu.models import case_dfa
+    from alfred_margaret_tpu.utils.case import IGNORE_CASE
+
+    m = ac.build([(n, i) for i, n in enumerate(["tshirt", "shirts"])])
+    cm = case_dfa.compose_build(list(zip(m.needles, m.values)), machine=m)
+    hay = "TSHIRT tshİrt SHIRTS filler ".encode() * 200
+    mesh = make_mesh(jax.devices()[:4], data=4, seq=1)
+    engine = DistributedAcEngine(cm, mesh, inner="pallas", interpret=True)
+    assert engine._bitap_lay is None
+    assert engine.count(hay) == ac.count_matches(m, hay, IGNORE_CASE)
