@@ -635,7 +635,7 @@ class MatchEngine:
                 if hasattr(eng, "value_presence"):  # grouped multi-pass engine
                     return eng.value_presence(data, len(m.values))
                 bitap = getattr(eng, "bitap", None)
-                if bitap is not None and bitap.n_words == 1:
+                if bitap is not None:
                     # ONE sticky bitap scan: each track's end bit is a
                     # per-needle flag (value ids align with needle entries).
                     # None = a CI trap fired (flags could under-report);

@@ -545,6 +545,66 @@ def _make_bitap_contains_kernel(
     return kernel
 
 
+def _make_bitap_presence_kernel(
+    T_TILE: int,
+    R: int,
+    n_tiles: int,
+    reps: int,
+    lay: BitapLayout,
+):
+    """Per-WORD sticky end-bit kernel: like the contains kernel but keeps
+    one ``[R, 128]`` sticky register per word (output ``[V, R, 128]``), so
+    every track's end bit survives as a per-needle presence flag even in
+    multi-word layouts (words share bit positions, so a single OR would
+    alias tracks across words).  Trap layouts append a trap plane as
+    output row V."""
+    n_grid = n_tiles * reps
+    unroll = lay.unroll
+    V = lay.n_words
+    trap = lay.trap
+    VT = V + (1 if trap is not None else 0)
+
+    def kernel(btab_ref, streams_ref, out_ref, d_scr, hit_scr):
+        tile = pl.program_id(0)
+        tmod = jax.lax.rem(tile, n_tiles) if reps > 1 else tile
+
+        @pl.when(tmod == 0)
+        def _init_d():
+            d_scr[:] = jnp.zeros((VT, R, 128), jnp.int32)
+
+        @pl.when(tile == 0)
+        def _init_hits():
+            hit_scr[:] = jnp.zeros((VT, R, 128), jnp.int32)
+
+        b_rows = _broadcast_rows(btab_ref[:], 2 * VT, R)
+
+        def body(u, carry):
+            D = list(carry[:VT])
+            H = list(carry[VT:])
+            for j in range(unroll):
+                t = u * unroll + j
+                byte = streams_ref[t].astype(jnp.int32)
+                for w, wl in enumerate(lay.all_words()):
+                    B = _b_of(byte, b_rows[2 * w : 2 * w + 2], wl.fold)
+                    D[w] = ((D[w] << 1) | jnp.int32(int(wl.seed))) & B
+                    H[w] = H[w] | (D[w] & jnp.int32(int(wl.endmask)))
+            return (*D, *H)
+
+        carry0 = tuple(d_scr[w] for w in range(VT)) + tuple(
+            hit_scr[w] for w in range(VT)
+        )
+        out = jax.lax.fori_loop(0, T_TILE // unroll, body, carry0)
+        for w in range(VT):
+            d_scr[w] = out[w]
+            hit_scr[w] = out[VT + w]
+
+        @pl.when(tile == n_grid - 1)
+        def _fin():
+            out_ref[:] = hit_scr[:]
+
+    return kernel
+
+
 class BitapAcEngine(PallasAcEngine):
     """``PallasAcEngine`` with bitap count/contains fast paths.
 
@@ -744,37 +804,73 @@ class BitapAcEngine(PallasAcEngine):
         its lowered re-encoding)."""
         return ci_track_key(nd) if self.bitap.ci else bytes(nd)
 
+    def _get_bitap_presence_fn(self, T: int, reps: int = 1):
+        key = (T, reps)
+        if not hasattr(self, "_bitap_presence"):
+            self._bitap_presence = {}
+        if key not in self._bitap_presence:
+            n_tiles = T // self.t_tile
+            lay = self.bitap
+            kernel = _make_bitap_presence_kernel(
+                self.t_tile, self.R, n_tiles, reps, lay
+            )
+            R, t_tile = self.R, self.t_tile
+            VT = len(lay.all_words())
+
+            @jax.jit
+            def run(btab, streams_u8):
+                streams = streams_u8.reshape(T, R, 128)
+                return pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles * reps,),
+                    in_specs=[
+                        pl.BlockSpec(
+                            (2 * VT, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                        ),
+                        pl.BlockSpec(
+                            (t_tile, R, 128),
+                            lambda i: (i % n_tiles, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (VT, R, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                    ),
+                    out_shape=jax.ShapeDtypeStruct((VT, R, 128), jnp.int32),
+                    scratch_shapes=[
+                        pltpu.VMEM((VT, R, 128), jnp.int32),
+                        pltpu.VMEM((VT, R, 128), jnp.int32),
+                    ],
+                    interpret=self.interpret,
+                )(btab, streams)
+
+            self._bitap_presence[key] = run
+        return self._bitap_presence[key]
+
     def needle_presence_staged(
         self, st: StagedStreams, reps: int = 1
     ) -> Optional[np.ndarray]:
         """Per-unique-needle presence flags from ONE sticky scan (the bitap
-        bonus: each track's end bit is a per-needle flag).  Returns a bool
-        array aligned with ``machine.needles`` (duplicates share a flag),
-        or None when a trap fired (flags could under-report; the caller
-        must use a dense path)."""
-        if self.bitap.n_words != 1:
-            raise NotImplementedError(
-                "per-needle presence bits merge across words; available for "
-                "single-word layouts only"
-            )
-        fn = self._get_bitap_contains_fn(st.plan.time_len, reps)
-        out = fn(self._btab_dev, st.streams_dev)
-        if self.bitap.trap is not None:
-            hits, trap = (np.asarray(o) for o in out)
-            if st.live_np is not None:
-                trap = trap[st.live_np]
-            if (trap != 0).any():
-                return None
-        else:
-            hits = np.asarray(out)
+        bonus: each track's end bit is a per-needle flag; multi-word
+        layouts keep one sticky plane per word so tracks never alias).
+        Returns a bool array aligned with ``machine.needles`` (duplicates
+        share a flag), or None when a trap fired (flags could
+        under-report; the caller must use a dense path)."""
+        lay = self.bitap
+        fn = self._get_bitap_presence_fn(st.plan.time_len, reps)
+        hits = np.asarray(fn(self._btab_dev, st.streams_dev))  # [VT, R, 128]
         if st.live_np is not None:
-            hits = hits[st.live_np]
-        agg = np.bitwise_or.reduce(hits.reshape(-1).astype(np.int64), initial=0)
-        wl = self.bitap.words[0]
-        flag = {
-            key: bool(agg & (1 << eb))
-            for key, (eb, _, _) in zip(wl.keys, wl.fields)
-        }
+            hits = hits[:, st.live_np]
+        aggs = [
+            int(np.bitwise_or.reduce(h.reshape(-1).astype(np.int64), initial=0))
+            for h in hits
+        ]
+        if lay.trap is not None and aggs[lay.n_words] != 0:
+            return None
+        flag = {}
+        for w, wl in enumerate(lay.words):
+            for key, (eb, _, _) in zip(wl.keys, wl.fields):
+                flag[key] = bool(aggs[w] & (1 << eb))
         return np.asarray([flag[self._needle_key(nd)] for nd in self.machine.needles])
 
 

@@ -311,3 +311,22 @@ def test_fuzz_vs_host_oracle():
         got = eng.count_staged(st)
         assert got == exp, (trial, needles, got, exp)
         assert eng.contains_staged(st) == (exp > 0)
+
+
+def test_needle_presence_multiword():
+    # 12 needles across 2-3 words: per-word sticky planes keep flags from
+    # aliasing across words that share bit positions.
+    rng = np.random.default_rng(11)
+    needles = list(
+        dict.fromkeys(
+            "".join(rng.choice(list("abcdef"), size=int(rng.integers(3, 9))))
+            for _ in range(12)
+        )
+    )
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    eng = _eng(m)
+    assert eng.bitap.n_words >= 2
+    hay = (" ".join(needles[::2]) + " zzz ").encode() * 30
+    st = eng.stage(np.frombuffer(hay, dtype=np.uint8))
+    pres = eng.needle_presence_staged(st)
+    assert list(pres) == [n.encode() in hay for n in needles]
