@@ -213,6 +213,49 @@ def plan_host_bitap(machine: AcMachine):
     return btab, seed, endmask
 
 
+def plan_host_bitap_ci(machine: AcMachine):
+    """64-bit byte-class plan for a composed case-folding DFA, or None.
+
+    ``(btab, seed, endmask, trap)`` where ``trap`` is a second
+    ``(btab, seed, endmask)`` register over the length-changing unlowering
+    encodings (İ/Kelvin-K/… — ``models.byteclass``), or None when the
+    needle letters have none.  One track per needle ENTRY (original-case
+    duplicates each get a track, popcount then counts each), mirroring the
+    CaseSensitive host plan."""
+    from ..models.byteclass import ci_tracks
+
+    got = ci_tracks(machine)
+    if got is None:
+        return None
+    tracks, traps = got
+    if sum(len(ps) * w for ps, w, _ in tracks) > 64:
+        return None
+
+    def pack(track_list):
+        btab = np.zeros(256, dtype=np.uint64)
+        seed = 0
+        endmask = 0
+        off = 0
+        for possets in track_list:
+            seed |= 1 << off
+            for p, bset in enumerate(possets):
+                for b in bset:
+                    btab[b] |= np.uint64(1 << (off + p))
+            endmask |= 1 << (off + len(possets) - 1)
+            off += len(possets)
+        return btab, seed, endmask
+
+    entries = []
+    for possets, w, _ in tracks:
+        entries.extend([possets] * w)
+    trap = None
+    if traps:
+        if sum(len(t) for t in traps) > 64:
+            return None
+        trap = pack([tuple((b,) for b in t) for t in traps])
+    return (*pack(entries), trap)
+
+
 class CppBitapEngine:
     """Host bitap (shift-AND) engine for small needle sets — an
     algorithmically independent C++ implementation (register automaton, no
@@ -224,19 +267,46 @@ class CppBitapEngine:
     (the NFA oracle is scalar Python)."""
 
     def __init__(self, machine: AcMachine, n_threads: Optional[int] = None):
+        self.trap = None
         plan = plan_host_bitap(machine)
         if plan is None:
-            raise ValueError("machine is not host-bitap eligible")
+            ci = plan_host_bitap_ci(machine)
+            if ci is None:
+                raise ValueError("machine is not host-bitap eligible")
+            plan, self.trap = ci[:3], ci[3]
         self.machine = machine
         self.lib = build.load()
         self.btab, self.seed, self.endmask = plan
         self.overlap = max(0, machine.max_needle_bytes - 1)
         self.n_threads = n_threads if n_threads is not None else _default_threads()
+        self._dfa = None  # trap-fire fallback (the composed DFA, exact)
+
+    def _trap_fires(self, data: np.ndarray) -> bool:
+        if self.trap is None:
+            return False
+        tb, ts, te = self.trap
+        return (
+            int(
+                self.lib.am_bitap_first(
+                    tb.ctypes.data, ts, te, data.ctypes.data, len(data)
+                )
+            )
+            >= 0
+        )
+
+    def _fallback(self):
+        if self._dfa is None:
+            self._dfa = CppAcEngine(self.machine)
+        return self._dfa
 
     def count(self, text: utf8.TextLike, n_threads: Optional[int] = None) -> int:
         data = np.ascontiguousarray(utf8.to_u8(text))
         if len(data) == 0:
             return 0
+        if self._trap_fires(data):
+            # A length-changing unlowering occurs in the corpus: the
+            # byte-class tracks may under-count; use the composed DFA.
+            return self._fallback().count(data)
         nt = self.n_threads if n_threads is None else n_threads
         return int(
             self.lib.am_bitap_count_mt(
@@ -263,7 +333,17 @@ class CppBitapEngine:
         )
 
     def contains(self, text: utf8.TextLike) -> bool:
-        return self.first_hit(text) >= 0
+        if self.first_hit(text) >= 0:
+            return True  # a track hit is genuine even under traps
+        data = np.ascontiguousarray(utf8.to_u8(text))
+        if len(data) and self._trap_fires(data):
+            return self._fallback().first_hit(data) >= 0
+        return False
 
 
-__all__ = ["CppAcEngine", "CppBitapEngine", "plan_host_bitap"]
+__all__ = [
+    "CppAcEngine",
+    "CppBitapEngine",
+    "plan_host_bitap",
+    "plan_host_bitap_ci",
+]

@@ -47,8 +47,7 @@ extra independent gather per byte and the fallback never fires.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from itertools import product as _iproduct
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.ac import AcMachine
-from ..utils import utf8
+from ..models.byteclass import ci_track_key, ci_tracks
 from .pallas_scan import PallasAcEngine, StagedStreams, _broadcast_rows
 
 #: Track budget: bit 31 must stay clear (int32 sign would corrupt compares
@@ -222,64 +221,6 @@ def plan_bitap(
     return _plan_tracks(tracks, max_unroll, max_words)
 
 
-def _needle_cps(nd: bytes) -> Optional[List[int]]:
-    """Strict whole-code-point parse of a needle, or None if any byte is
-    not part of a valid minimal sequence (such needles are not composed-CI
-    eligible in the first place, ``models.case_dfa.eligible``)."""
-    cps = []
-    i, n = 0, len(nd)
-    while i < n:
-        consumed, cp, valid = utf8.decode_strict(nd, i)
-        if not valid:
-            return None
-        cps.append(cp)
-        i += consumed
-    return cps
-
-
-def ci_track_key(nd: bytes) -> Optional[bytes]:
-    """Canonical IgnoreCase track key: the lowered needle, re-encoded.
-    None when the needle is not whole-code-point strict UTF-8."""
-    cps = _needle_cps(bytes(nd))
-    if cps is None:
-        return None
-    return "".join(chr(int(utf8.LOWER_TABLE[cp])) for cp in cps).encode("utf-8")
-
-
-def _ci_cp_sets(cp: int):
-    """Per-byte accepted sets + trap encodings for one lowered code point.
-
-    Returns ``(possets, traps)`` or None when the closure gate fails:
-    ``possets`` accept exactly the same-length unlowerings of ``cp`` (every
-    cartesian-product byte string must be strict-valid UTF-8 decoding to a
-    preimage — otherwise a mixed-variant byte string would either decode to
-    a different letter or pass through as invalid bytes, both over-matches),
-    ``traps`` are the encodings of length-changing unlowerings (İ→i class),
-    which the track cannot hold and the runtime trap word must guard.
-    """
-    pre = [ord(u) for u in utf8.unlower_code_point(chr(cp))]
-    if cp not in pre:
-        return None  # cp is not its own lowering: no fixed-width language
-    enc = chr(cp).encode("utf-8")
-    L = len(enc)
-    same, traps = [], []
-    for u in pre:
-        ue = chr(u).encode("utf-8")
-        (same if len(ue) == L else traps).append(ue)
-    possets = tuple(
-        tuple(sorted({ue[j] for ue in same})) for j in range(L)
-    )
-    if any(0 in s for s in possets):
-        return None  # NUL must stay register-killing (pad bytes)
-    preset = set(pre)
-    for combo in _iproduct(*possets):
-        bs = bytes(combo)
-        consumed, val, valid = utf8.decode_strict(bs, 0)
-        if not (valid and consumed == L and val in preset):
-            return None  # closure gate: product would over-match
-    return possets, traps
-
-
 def plan_bitap_ci(
     machine: AcMachine, max_unroll: int = 8, max_words: int = 3
 ) -> Optional[BitapLayout]:
@@ -292,46 +233,15 @@ def plan_bitap_ci(
     unlowering bytes, with the closure gate of :func:`_ci_cp_sets`.
     Length-changing unlowerings pack into the sticky trap word.
     """
-    if not getattr(machine, "composed_ci", False):
+    got = ci_tracks(machine)
+    if got is None:
         return None
-    if not machine.needles:
-        return None
-    mult: Dict[bytes, int] = {}
-    cps_of: Dict[bytes, List[int]] = {}
-    for nd in machine.needles:
-        nd = bytes(nd)
-        if len(nd) == 0:
-            return None
-        cps = _needle_cps(nd)
-        if cps is None:
-            return None
-        key = "".join(chr(int(utf8.LOWER_TABLE[cp])) for cp in cps).encode(
-            "utf-8"
-        )
-        mult[key] = mult.get(key, 0) + 1
-        cps_of[key] = [int(utf8.LOWER_TABLE[cp]) for cp in cps]
-
-    tracks: List[_Track] = []
-    trap_encs: Dict[bytes, None] = {}
-    cache: Dict[int, Optional[Tuple]] = {}
-    for key, w in mult.items():
-        possets: List[Tuple[int, ...]] = []
-        for cp in cps_of[key]:
-            if cp not in cache:
-                cache[cp] = _ci_cp_sets(cp)
-            got = cache[cp]
-            if got is None:
-                return None
-            ps, traps = got
-            possets.extend(ps)
-            for t in traps:
-                trap_encs.setdefault(t, None)
-        tracks.append((tuple(possets), w, key))
+    tracks, trap_list = got
 
     trap = None
-    if trap_encs:
+    if trap_list:
         trap_tracks = [
-            (tuple((b,) for b in enc), 0, enc) for enc in trap_encs
+            (tuple((b,) for b in enc), 0, enc) for enc in trap_list
         ]
         packed = _pack_words(sorted(trap_tracks, key=lambda t: len(t[0])), 1)
         if packed is None or len(packed) != 1:

@@ -148,6 +148,37 @@ while True:
                                  enumerate(dict.fromkeys(x.lower() for x in ci_needles))])
                 exp_ci = ac.count_matches(mlow, hay_ci.decode("latin1").lower().encode("latin1"))
                 assert got_ci == exp_ci, (trial, "ignore-case", got_ci, exp_ci)
+                # CI bitap lane: byte-class register automaton on the RAW
+                # mixed-case bytes (cross-algorithm vs the composed DFA;
+                # latin1-upper haystacks include invalid-UTF-8 passthrough
+                # bytes, stressing the closure/trap exactness argument).
+                cmeng = sci._engine._composed(IGNORE_CASE)
+                if cmeng is not None:
+                    from alfred_margaret_tpu.ops.bitap_scan import (
+                        BitapAcEngine as _BAE,
+                        plan_bitap_ci,
+                    )
+                    layci = plan_bitap_ci(cmeng.machine)
+                    if layci is not None:
+                        bce = _BAE(cmeng.machine, layout=layci,
+                                   n_streams=256, t_tile=32, interpret=True)
+                        stci = bce.stage(np.frombuffer(hay_ci, dtype=np.uint8))
+                        got_b = bce.count_staged(stci)
+                        assert got_b == exp_ci, (
+                            trial, "ci-bitap", got_b, exp_ci,
+                            layci.trap is not None)
+                        assert bce.contains_staged(stci) == (exp_ci > 0), (
+                            trial, "ci-bitap-contains")
+                    # host byte-class bitap: third independent algorithm
+                    from alfred_margaret_tpu.native.cpp_engine import (
+                        CppBitapEngine as _CBE,
+                        plan_host_bitap_ci,
+                    )
+                    if plan_host_bitap_ci(cmeng.machine) is not None:
+                        got_h = _CBE(cmeng.machine).count(
+                            np.frombuffer(hay_ci, dtype=np.uint8))
+                        assert got_h == exp_ci, (
+                            trial, "host-ci-bitap", got_h, exp_ci)
             finally:
                 MatchEngine.AUTO_COMPOSE_BYTES = saved
     # Replacer round: incremental loop (incl. the batched no-interaction

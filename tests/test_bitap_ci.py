@@ -241,3 +241,28 @@ def test_ci_fuzz_vs_scalar_oracle():
         exp = ac.count_matches(m, data, IGNORE_CASE)
         assert eng.count_staged(st) == exp, (trial, needles, hay[:80])
         assert eng.contains_staged(st) == (exp > 0)
+
+
+def test_streaming_over_ci_bitap():
+    # Out-of-core chunked CI scanning over the byte-class bitap engine:
+    # chunk boundaries + trap-fire fallback must both stay exact.
+    from alfred_margaret_tpu.models import case_dfa
+    from alfred_margaret_tpu.ops.bitap_scan import plan_bitap_ci
+    from alfred_margaret_tpu.ops.streaming import StreamingScanner
+    from alfred_margaret_tpu.utils.case import IGNORE_CASE
+
+    m = ac.build([(n, i) for i, n in enumerate(["dress", "kilo"])])
+    cm = case_dfa.compose_build(list(zip(m.needles, m.values)), machine=m)
+    lay = plan_bitap_ci(cm)
+    assert lay is not None and lay.trap is not None
+    eng = BitapAcEngine(cm, layout=lay, n_streams=256, t_tile=32, interpret=True)
+    # trapless corpus
+    corpus = b"DRESS kilo dReSs KILO xx " * 700
+    sc = StreamingScanner(eng, cm, chunk_bytes=4096)
+    exp = ac.count_matches(m, corpus, IGNORE_CASE)
+    assert sc.count(np.frombuffer(corpus, dtype=np.uint8)) == exp
+    # Kelvin K in ONE chunk: only that chunk takes the dense fallback
+    corpus2 = corpus + "K\u212aILO ".encode() + corpus
+    exp2 = ac.count_matches(m, corpus2, IGNORE_CASE)
+    sc2 = StreamingScanner(eng, cm, chunk_bytes=4096)
+    assert sc2.count(np.frombuffer(corpus2, dtype=np.uint8)) == exp2

@@ -110,3 +110,39 @@ def test_first_hit_and_value_presence():
     assert pres.tolist() == [True, True, True]
     pres2 = eng.value_presence(np.frombuffer(b"xxabcxx", dtype=np.uint8), 3)
     assert pres2.tolist() == [True, True, False]
+
+
+def test_host_ci_bitap_oracle():
+    # Host byte-class bitap over a composed case-folding DFA: third
+    # independent algorithm for CI conformance (scalar oracle / composed
+    # DFA / register automaton), incl. the Kelvin-K trap fallback.
+    from alfred_margaret_tpu.models import ac, case_dfa
+    from alfred_margaret_tpu.native.build import NativeUnavailable
+    from alfred_margaret_tpu.utils import utf8
+    from alfred_margaret_tpu.utils.case import IGNORE_CASE
+
+    try:
+        from alfred_margaret_tpu.native.cpp_engine import (
+            CppBitapEngine,
+            plan_host_bitap_ci,
+        )
+
+        low = [utf8.lower_str(n) for n in ["Kilo", "dress", "kilo"]]
+        m = ac.build([(n, i) for i, n in enumerate(low)])
+        cm = case_dfa.compose_build(list(zip(m.needles, m.values)), machine=m)
+        assert plan_host_bitap_ci(cm) is not None
+        e = CppBitapEngine(cm)
+        assert e.trap is not None  # 'i'/'k' letters
+        data = ("KILO dress kIlO DRESS xx " * 300).encode()
+        assert e.count(data) == ac.count_matches(m, data, IGNORE_CASE)
+        assert e.contains(data)
+        # Kelvin sign: track misses, trap fires, DFA fallback exact.
+        kelvin = ("\u212aILO dress " * 50).encode()
+        assert e._trap_fires(np.frombuffer(kelvin, dtype=np.uint8))
+        assert e.count(kelvin) == ac.count_matches(m, kelvin, IGNORE_CASE)
+        assert e.contains(kelvin)
+        assert not e.contains(b"zzz qq")
+        # CS machines keep refusing the CI planner and vice versa
+        assert plan_host_bitap_ci(m) is None
+    except NativeUnavailable:
+        pytest.skip("no C++ toolchain")
