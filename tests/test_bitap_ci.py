@@ -266,3 +266,22 @@ def test_streaming_over_ci_bitap():
     exp2 = ac.count_matches(m, corpus2, IGNORE_CASE)
     sc2 = StreamingScanner(eng, cm, chunk_bytes=4096)
     assert sc2.count(np.frombuffer(corpus2, dtype=np.uint8)) == exp2
+
+
+def test_ci_closure_sampled_exhaustive():
+    # Deterministic sample of the exhaustive per-code-point differential
+    # (experiments/ci_closure_exhaustive.py ran the full 1,424-cp sweep on
+    # 2026-08-20: 1,034 closure-eligible, 1,010 trapless trials checked,
+    # 0 mismatches).  The suite keeps every 29th cased code point hot.
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "ci_closure_exhaustive",
+        os.path.join(os.path.dirname(__file__), "..", "experiments",
+                     "ci_closure_exhaustive.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cased = sorted(set(utf8._unlower_map().keys()))[::29]
+    eligible, checked, mismatches = mod.run(cased)
+    assert not mismatches, mismatches
+    assert eligible >= 20 and checked >= 15  # the sample stays meaningful
