@@ -939,19 +939,27 @@ def make_pallas_engine(machine: AcMachine, max_rows: int = MAX_ROWS, **kw):
     if os.environ.get("AMT_BITAP") != "0":
         from .bitap_scan import BitapAcEngine, plan_bitap, plan_bitap_ci
 
-        # Word budget: bitap runs at ~220/V GB/s under load (measured
-        # V-sweep, docs/ROUND4.md) vs the ladder's ~165/gathers, i.e. one
-        # bitap word costs ~0.75 dependent-gather-equivalents — so extend
-        # the bitap regime to floor(4/3 * gather_cost) words.  Never below
-        # 3 (bitap measured faster than dense at every eligible V <= 3
-        # regardless of the dense table's nominal row count), capped at 8
-        # (~240 track bytes; past that comb16's ~25 GB/s wins).
-        budget = 8 if gcost is None else max(3, min(8, int(gcost) * 4 // 3))
+        # Word budget (paired on-chip crossover, experiments/
+        # tpu_bitap_midtier.py, 2026-08-20): under load bitap runs ~170/V
+        # GB/s while the ladder holds the 165/gathers law or better (comb
+        # g=2: 70-89, g=3: 61-78, comb16 g=4: 40), so bitap wins only
+        # while V <~ 0.9*g — measured: V=2 vs g=2 1.5x bitap, V=3 vs g=2
+        # 0.8-0.93x ladder, V>=4 ladder at every g<=4.  V<=2 always
+        # engages (g=1 single-row dense tables only exist for sets that
+        # fit one word, and V=1 beats everything 1.5-4.9x).  A CI trap
+        # word costs one more word (measured ~parity vs composed dense at
+        # V'=2; keeps the light-load upside, bandwidth-bound vs
+        # issue-bound).
+        budget = 8 if gcost is None else max(2, min(8, 9 * int(gcost) // 10))
         lay = plan_bitap(machine, max_words=budget)
         if lay is None and getattr(machine, "composed_ci", False):
             # Composed IgnoreCase machines take the byte-class bitap with
             # the length-changing-unlowering trap guard (ops.bitap_scan).
             lay = plan_bitap_ci(machine, max_words=budget)
+        if lay is not None and lay.trap is not None and lay.n_words + 1 > max(
+            2, budget
+        ):
+            lay = None
         if lay is not None:
             return BitapAcEngine(machine, layout=lay, max_rows=max_rows, **kw)
     if kind is None:

@@ -80,7 +80,10 @@ def _tpu_measure(machine, data: np.ndarray, n_full: int):
     # set — ops.bitap_scan); the rep spread is sized so that even at the
     # bitap rate (~600 GB/s) the slope denominator is ~100 ms of kernel.
     eng = make_pallas_engine(machine)
-    r_lo, r_hi = 2, 502
+    # Size the rep spread so the slope denominator is ~150 ms of kernel
+    # even at the bitap rate (~600 GB/s) and with a shrunken corpus.
+    r_lo = 2
+    r_hi = max(502, min(4002, int(0.15 * 600e9 / max(n_full, 1))))
     t_lo, c_lo = _time_device_scan(eng, data, r_lo)
     t_hi, c_hi = _time_device_scan(eng, data, r_hi)
     assert c_lo * r_hi == c_hi * r_lo, f"rep-count mismatch {c_lo}x{r_hi} != {c_hi}x{r_lo}"
@@ -92,16 +95,44 @@ def _tpu_measure(machine, data: np.ndarray, n_full: int):
     return value, c_lo // r_lo
 
 
+def _staging_mb_budget() -> int:
+    """Corpus MiB that stages within ~100 s at the tunnel's CURRENT upload
+    bandwidth (measured with one 4 MiB put).  The headline metric is a
+    *slope* (sustained kernel rate), which is corpus-size-independent, so
+    on slow-tunnel days a smaller resident corpus measures the same number
+    instead of blowing the watchdog on staging alone."""
+    import jax
+
+    probe = np.zeros(4 << 20, dtype=np.uint8)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(probe))
+    bw = len(probe) / max(time.perf_counter() - t0, 1e-9)  # bytes/s
+    budget = int(bw * 100 / (1 << 20))  # MiB stagable in ~100 s
+    mb = max(16, min(N_MB, budget))
+    log(f"staging probe: {bw/1e6:.1f} MB/s upload -> corpus {mb} MiB")
+    return mb
+
+
 def _tpu_child() -> int:
-    """Watchdog child: do the device measurement, print one parseable line."""
+    """Watchdog child: do the device measurement, print one parseable line.
+
+    Parity is checked HERE against the native C++ DFA on the same corpus
+    (the parent's corpus may be larger when the staging probe shrinks
+    ours, so its count is not comparable)."""
     from alfred_margaret_tpu.bench.dataformat import synth_corpus
     from alfred_margaret_tpu.models import ac
+    from alfred_margaret_tpu.native.cpp_engine import CppAcEngine
 
-    n_full = N_MB * 1024 * 1024
-    corpus = synth_corpus(NEEDLES, n_full, hit_fraction=0.01, seed=3)
+    mb = _staging_mb_budget()
+    n_eff = mb * 1024 * 1024
+    corpus = synth_corpus(NEEDLES, n_eff, hit_fraction=0.01, seed=3)
     data = np.frombuffer(corpus, dtype=np.uint8)
     machine = ac.build([(n, i) for i, n in enumerate(NEEDLES)])
-    value, count = _tpu_measure(machine, data, n_full)
+    value, count = _tpu_measure(machine, data, n_eff)
+    expected = CppAcEngine(machine).count(data)
+    if count != expected:
+        log(f"PARITY MISMATCH device {count} != cpp {expected}")
+        return 1
     print(f"TPU_RESULT {value} {count}", flush=True)
     return 0
 
@@ -139,12 +170,30 @@ def main() -> int:
         else:
             import subprocess
 
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--tpu-child"],
-                capture_output=True,
-                text=True,
-                timeout=WATCHDOG_S,
-            )
+            retries = int(os.environ.get("AM_BENCH_RETRIES", "2"))
+            proc = None
+            for attempt in range(retries + 1):
+                try:
+                    proc = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__), "--tpu-child"],
+                        capture_output=True,
+                        text=True,
+                        timeout=WATCHDOG_S,
+                    )
+                    break
+                except subprocess.TimeoutExpired as te:
+                    # The relay flaps: a wedged child usually means the
+                    # device connection died mid-run; a fresh child often
+                    # succeeds.  Log the child's partial stderr for
+                    # diagnosis before retrying.
+                    tail = te.stderr or b""
+                    if isinstance(tail, bytes):
+                        tail = tail.decode(errors="replace")
+                    tail = tail[-400:]
+                    log(f"tpu child timed out (attempt {attempt + 1}/"
+                        f"{retries + 1}); child stderr tail: {tail!r}")
+                    if attempt == retries:
+                        raise
             sys.stderr.write(proc.stderr)
             result_lines = [
                 l for l in proc.stdout.splitlines() if l.startswith("TPU_RESULT ")
@@ -155,6 +204,7 @@ def main() -> int:
                 )
             _, v, c = result_lines[-1].split()
             value, c_base = float(v), int(c)
+            expected = None  # child checked parity on ITS (possibly smaller) corpus
         if expected is not None:
             assert c_base == expected, f"count mismatch {c_base} != {expected}"
         log(f"sustained throughput: {value/1e9:.3f} GB/s")
