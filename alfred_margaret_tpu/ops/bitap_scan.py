@@ -78,6 +78,13 @@ class WordLayout:
     #: per track: canonical needle key (CS: the needle bytes; CI: the
     #: lowered-needle bytes), aligned with ``fields``
     keys: Tuple[bytes, ...] = ()
+    #: end bits of EMBEDDED trap tracks riding this word's register in the
+    #: spare bits above the last count field's flush headroom — trap
+    #: detection then costs zero extra gathers (only the fold fast-path,
+    #: when the trap bytes are non-ASCII).  Their seed/btab bits are
+    #: already merged into ``seed``/``btab``; they are absent from
+    #: ``fields`` so counts never see them.
+    trap_endmask: int = 0
 
     @property
     def fold(self) -> bool:
@@ -107,6 +114,13 @@ class BitapLayout:
     @property
     def n_words(self) -> int:
         return len(self.words)
+
+    @property
+    def has_trap(self) -> bool:
+        """True when ANY trap tracks exist (embedded in match words or in
+        the standalone trap register): the kernels then emit the sticky
+        trap plane and callers must honor the fallback contract."""
+        return self.trap is not None or any(w.trap_endmask for w in self.words)
 
     def all_words(self) -> Tuple[WordLayout, ...]:
         """Match words + the trap word (if any), in kernel B-table order."""
@@ -238,16 +252,57 @@ def plan_bitap_ci(
         return None
     tracks, trap_list = got
 
+    lay0 = _plan_tracks(tracks, max_unroll, max_words, ci=True)
+    if lay0 is None or not trap_list:
+        return lay0
+
+    # Embed trap tracks into the spare trailing bits of the match words
+    # (above each last field's flush headroom): detection then rides the
+    # SAME register — zero extra gathers, vs a full B-gather per byte for
+    # the standalone trap word (measured 73 vs ~110+ GB/s at V=1).  Trap
+    # end bits live in `trap_endmask`, never in `fields`, so counts are
+    # untouched; back-to-back placement is safe for the same reason match
+    # tracks pack tightly (the seed re-injects the start bit every step,
+    # so a neighbor's leaked carry bit is indistinguishable from the
+    # seed).  Whatever does not fit spills to the standalone register.
+    min_head = max(1, int(lay0.unroll).bit_length())
+    remaining = sorted(trap_list, key=len)
+    new_words = []
+    for wl in lay0.words:
+        seed, btab, tem = wl.seed, wl.btab.copy(), 0
+        off = max(e for e, _, _ in wl.fields) + min_head
+        still = []
+        for enc in remaining:
+            if off + len(enc) - 1 <= MAX_TRACK_BITS - 1:
+                seed |= 1 << off
+                for p, b in enumerate(enc):
+                    btab[b] |= 1 << (off + p)
+                tem |= 1 << (off + len(enc) - 1)
+                off += len(enc)
+            else:
+                still.append(enc)
+        remaining = still
+        new_words.append(
+            WordLayout(
+                seed=seed,
+                endmask=wl.endmask,
+                btab=btab,
+                fields=wl.fields,
+                keys=wl.keys,
+                trap_endmask=tem,
+            )
+        )
     trap = None
-    if trap_list:
-        trap_tracks = [
-            (tuple((b,) for b in enc), 0, enc) for enc in trap_list
-        ]
-        packed = _pack_words(sorted(trap_tracks, key=lambda t: len(t[0])), 1)
+    if remaining:
+        packed = _pack_words(
+            [(tuple((b,) for b in e), 0, e) for e in remaining], 1
+        )
         if packed is None or len(packed) != 1:
             return None  # absurd needle set: too many distinct trap letters
         trap = packed[0]
-    return _plan_tracks(tracks, max_unroll, max_words, trap=trap, ci=True)
+    return BitapLayout(
+        words=tuple(new_words), unroll=lay0.unroll, trap=trap, ci=True
+    )
 
 
 def _b_of(byte_rc, b_rows, fold: bool):
@@ -290,10 +345,11 @@ def _make_bitap_count_kernel(
     unroll = lay.unroll
     V = lay.n_words
     trap = lay.trap
+    has_trap = lay.has_trap
     VT = V + (1 if trap is not None else 0)
 
     def kernel(bscal_ref, btab_ref, warm_ref, streams_ref, *refs):
-        if trap is not None:
+        if has_trap:
             out_ref, trap_ref, d_scr, cnt_scr, trap_scr = refs
         else:
             out_ref, d_scr, cnt_scr = refs
@@ -308,7 +364,7 @@ def _make_bitap_count_kernel(
         @pl.when(tile == 0)
         def _init_cnt():
             cnt_scr[:] = jnp.zeros((R, 128), jnp.int32)
-            if trap is not None:
+            if has_trap:
                 trap_scr[:] = jnp.zeros((R, 128), jnp.int32)
 
         b_rows = _broadcast_rows(btab_ref[:], 2 * VT, R)
@@ -317,7 +373,7 @@ def _make_bitap_count_kernel(
 
         def make_body(masked):
             def body(u, carry):
-                if trap is not None:
+                if has_trap:
                     *D, counts, tr = carry
                 else:
                     *D, counts = carry
@@ -334,6 +390,8 @@ def _make_bitap_count_kernel(
                         if masked:
                             e = jnp.where(t0 + t >= warm, e, 0)
                         blk[w] = e if blk[w] is None else blk[w] + e
+                        if wl.trap_endmask:
+                            tr = tr | (D[w] & jnp.int32(int(wl.trap_endmask)))
                     if trap is not None:
                         B = _b_of(byte, b_rows[2 * V : 2 * V + 2], trap.fold)
                         D[V] = ((D[V] << 1) | jnp.int32(int(trap.seed))) & B
@@ -342,13 +400,13 @@ def _make_bitap_count_kernel(
                     for eb, h, wt in wl.fields:
                         f = (blk[w] >> eb) & jnp.int32((1 << h) - 1)
                         counts = counts + (f * jnp.int32(wt) if wt != 1 else f)
-                return (*D, counts, tr) if trap is not None else (*D, counts)
+                return (*D, counts, tr) if has_trap else (*D, counts)
 
             return body
 
         is_boundary = t0 < bscal_ref[0]
         carry0 = (*(d_scr[w] for w in range(VT)), cnt_scr[:])
-        if trap is not None:
+        if has_trap:
             carry0 = (*carry0, trap_scr[:])
         out = jax.lax.cond(
             is_boundary,
@@ -356,7 +414,7 @@ def _make_bitap_count_kernel(
             lambda c: jax.lax.fori_loop(0, T_TILE // unroll, make_body(False), c),
             carry0,
         )
-        if trap is not None:
+        if has_trap:
             *D, counts, tr = out
             trap_scr[:] = tr
         else:
@@ -368,7 +426,7 @@ def _make_bitap_count_kernel(
         @pl.when(tile == n_grid - 1)
         def _fin():
             out_ref[:] = cnt_scr[:]
-            if trap is not None:
+            if has_trap:
                 trap_ref[:] = trap_scr[:]
 
     return kernel
@@ -390,10 +448,11 @@ def _make_bitap_contains_kernel(
     unroll = lay.unroll
     V = lay.n_words
     trap = lay.trap
+    has_trap = lay.has_trap
     VT = V + (1 if trap is not None else 0)
 
     def kernel(btab_ref, streams_ref, *refs):
-        if trap is not None:
+        if has_trap:
             out_ref, trap_ref, d_scr, hit_scr, trap_scr = refs
         else:
             out_ref, d_scr, hit_scr = refs
@@ -408,13 +467,13 @@ def _make_bitap_contains_kernel(
         @pl.when(tile == 0)
         def _init_hits():
             hit_scr[:] = jnp.zeros((R, 128), jnp.int32)
-            if trap is not None:
+            if has_trap:
                 trap_scr[:] = jnp.zeros((R, 128), jnp.int32)
 
         b_rows = _broadcast_rows(btab_ref[:], 2 * VT, R)
 
         def body(u, carry):
-            if trap is not None:
+            if has_trap:
                 *D, hits, tr = carry
             else:
                 *D, hits = carry
@@ -427,17 +486,19 @@ def _make_bitap_contains_kernel(
                     B = _b_of(byte, b_rows[2 * w : 2 * w + 2], wl.fold)
                     D[w] = ((D[w] << 1) | jnp.int32(int(wl.seed))) & B
                     hits = hits | (D[w] & jnp.int32(int(wl.endmask)))
+                    if wl.trap_endmask:
+                        tr = tr | (D[w] & jnp.int32(int(wl.trap_endmask)))
                 if trap is not None:
                     B = _b_of(byte, b_rows[2 * V : 2 * V + 2], trap.fold)
                     D[V] = ((D[V] << 1) | jnp.int32(int(trap.seed))) & B
                     tr = tr | (D[V] & jnp.int32(int(trap.endmask)))
-            return (*D, hits, tr) if trap is not None else (*D, hits)
+            return (*D, hits, tr) if has_trap else (*D, hits)
 
         carry0 = (*(d_scr[w] for w in range(VT)), hit_scr[:])
-        if trap is not None:
+        if has_trap:
             carry0 = (*carry0, trap_scr[:])
         out = jax.lax.fori_loop(0, T_TILE // unroll, body, carry0)
-        if trap is not None:
+        if has_trap:
             *D, hits, tr = out
             trap_scr[:] = tr
         else:
@@ -449,7 +510,7 @@ def _make_bitap_contains_kernel(
         @pl.when(tile == n_grid - 1)
         def _fin():
             out_ref[:] = hit_scr[:]
-            if trap is not None:
+            if has_trap:
                 trap_ref[:] = trap_scr[:]
 
     return kernel
@@ -497,7 +558,8 @@ def _make_bitap_presence_kernel(
                 for w, wl in enumerate(lay.all_words()):
                     B = _b_of(byte, b_rows[2 * w : 2 * w + 2], wl.fold)
                     D[w] = ((D[w] << 1) | jnp.int32(int(wl.seed))) & B
-                    H[w] = H[w] | (D[w] & jnp.int32(int(wl.endmask)))
+                    m = int(wl.endmask) | int(wl.trap_endmask)
+                    H[w] = H[w] | (D[w] & jnp.int32(m))
             return (*D, *H)
 
         carry0 = tuple(d_scr[w] for w in range(VT)) + tuple(
@@ -550,7 +612,7 @@ class BitapAcEngine(PallasAcEngine):
             )
             R, t_tile = self.R, self.t_tile
             VT = len(lay.all_words())
-            has_trap = lay.trap is not None
+            has_trap = lay.has_trap
             rc_spec = pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
             rc_shape = jax.ShapeDtypeStruct((R, 128), jnp.int32)
 
@@ -588,7 +650,7 @@ class BitapAcEngine(PallasAcEngine):
     def count_staged(self, st: StagedStreams, reps: int = 1) -> int:
         fn = self._get_bitap_count_fn(st.plan.time_len, reps)
         out = fn(self._bscal_for(st), self._btab_dev, st.warm_t, st.streams_dev)
-        if self.bitap.trap is not None:
+        if self.bitap.has_trap:
             counts, trap = (np.asarray(o) for o in out)
             if st.live_np is not None:
                 trap = trap[st.live_np]
@@ -614,7 +676,7 @@ class BitapAcEngine(PallasAcEngine):
             )
             R, t_tile = self.R, self.t_tile
             VT = len(lay.all_words())
-            has_trap = lay.trap is not None
+            has_trap = lay.has_trap
             rc_spec = pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
             rc_shape = jax.ShapeDtypeStruct((R, 128), jnp.int32)
 
@@ -651,7 +713,7 @@ class BitapAcEngine(PallasAcEngine):
         """(hits_any, trap_any) over live streams."""
         fn = self._get_bitap_contains_fn(st.plan.time_len, reps)
         out = fn(self._btab_dev, st.streams_dev)
-        if self.bitap.trap is not None:
+        if self.bitap.has_trap:
             hits, trap = (np.asarray(o) for o in out)
         else:
             hits, trap = np.asarray(out), None
@@ -677,7 +739,7 @@ class BitapAcEngine(PallasAcEngine):
         1-bit/position extraction scan also runs without dependent
         gathers."""
         lay = self.bitap
-        if lay.n_words != 1 or lay.trap is not None:
+        if lay.n_words != 1 or lay.has_trap:
             # The generic matchbits kernel carries ONE [R,128] scratch;
             # multi-word registers and trap-guarded CI layouts fall back
             # to the dense step family (exact in both cases).
@@ -777,6 +839,10 @@ class BitapAcEngine(PallasAcEngine):
         ]
         if lay.trap is not None and aggs[lay.n_words] != 0:
             return None
+        if any(
+            aggs[w] & int(wl.trap_endmask) for w, wl in enumerate(lay.words)
+        ):
+            return None  # embedded trap fired: flags could under-report
         flag = {}
         for w, wl in enumerate(lay.words):
             for key, (eb, _, _) in zip(wl.keys, wl.fields):

@@ -179,7 +179,7 @@ class DistributedAcEngine:
                     # program, so trap-bearing sets stay on the exact
                     # dense inner (ops.bitap_scan docstring).
                     lay = plan_bitap_ci(machine)
-                    if lay is not None and lay.trap is None:
+                    if lay is not None and not lay.has_trap:
                         self._bitap_lay = lay
             if self._bitap_lay is not None:
                 bt = np.stack([wl.btab for wl in self._bitap_lay.words])

@@ -72,10 +72,17 @@ def run(cps):
         if exp != exp_cm:
             mismatches.append((hex(cp), "composed-vs-oracle", exp, exp_cm))
             continue
-        if lay.trap is not None and sim_bitap(
+        trap_fired = lay.trap is not None and sim_bitap(
             lay.trap.btab, int(lay.trap.seed), int(lay.trap.endmask),
             {eb: 1 for eb, _, _ in lay.trap.fields}, hay,
-        ) > 0:
+        ) > 0
+        for twl in lay.words:  # embedded trap tracks ride the match word
+            if twl.trap_endmask and sim_bitap(
+                twl.btab, int(twl.seed), int(twl.trap_endmask),
+                {b: 1 for b in range(31) if twl.trap_endmask >> b & 1}, hay,
+            ) > 0:
+                trap_fired = True
+        if trap_fired:
             continue  # engine falls back to the composed kernel here
         got_sim = sim_bitap(wl.btab, int(wl.seed), int(wl.endmask), weights, hay)
         if got_sim != exp:

@@ -66,8 +66,10 @@ def test_plan_gates():
     # 'i' and 'k' pull in the İ / Kelvin-K trap encodings.
     _, cm = _composed(["kilo"])
     lay = plan_bitap_ci(cm)
-    assert lay is not None and lay.trap is not None
-    assert set(lay.trap.keys) == {"İ".encode(), "K".encode()}
+    assert lay is not None and lay.has_trap
+    # both trap encodings EMBED into the match word's spare bits (zero
+    # extra gathers): no standalone trap register needed
+    assert lay.trap is None and lay.words[0].trap_endmask != 0
     # Greek ω: the variant mix 0xCF 0xA9 decodes to a different letter —
     # the closure gate must reject (over-match otherwise).
     _, cm = _composed(["ω"])
@@ -163,7 +165,7 @@ def test_trap_negative_corpus_stays_on_fast_path():
     # checked by poisoning the dense count and seeing it NOT used).
     _, cm = _composed(["fix"])
     lay = plan_bitap_ci(cm)
-    assert lay.trap is not None
+    assert lay.has_trap
     eng = _eng(cm, lay)
     data = ("FIX fix fIx " * 50).encode()
     st = eng.stage(np.frombuffer(data, dtype=np.uint8))
@@ -254,7 +256,7 @@ def test_streaming_over_ci_bitap():
     m = ac.build([(n, i) for i, n in enumerate(["dress", "kilo"])])
     cm = case_dfa.compose_build(list(zip(m.needles, m.values)), machine=m)
     lay = plan_bitap_ci(cm)
-    assert lay is not None and lay.trap is not None
+    assert lay is not None and lay.has_trap
     eng = BitapAcEngine(cm, layout=lay, n_streams=256, t_tile=32, interpret=True)
     # trapless corpus
     corpus = b"DRESS kilo dReSs KILO xx " * 700
