@@ -173,18 +173,17 @@ class DistributedAcEngine:
                 if self._bitap_lay is None and getattr(
                     machine, "composed_ci", False
                 ):
-                    # Composed IgnoreCase: only TRAPLESS byte-class layouts
-                    # (no i/k/å/… letters) ride the bitap inner — the
-                    # trap-fire fallback would need a second compiled mesh
-                    # program, so trap-bearing sets stay on the exact
-                    # dense inner (ops.bitap_scan docstring).
-                    lay = plan_bitap_ci(machine)
-                    if lay is not None and not lay.has_trap:
-                        self._bitap_lay = lay
+                    # Composed IgnoreCase byte-class layouts, incl.
+                    # trap-bearing ones: the steps then psum a sticky trap
+                    # plane alongside the result and count_staged /
+                    # contains_any rerun the dense per-shard step when a
+                    # length-changing unlowering occurs in the corpus.
+                    self._bitap_lay = plan_bitap_ci(machine)
             if self._bitap_lay is not None:
-                bt = np.stack([wl.btab for wl in self._bitap_lay.words])
+                wl_all = self._bitap_lay.all_words()
+                bt = np.stack([wl.btab for wl in wl_all])
                 self._btab_dev = jnp.asarray(
-                    bt.reshape(2 * self._bitap_lay.n_words, 128).astype(np.int32)
+                    bt.reshape(2 * len(wl_all), 128).astype(np.int32)
                 )
 
         if self.inner == "pallas":
@@ -426,38 +425,38 @@ class DistributedAcEngine:
         lay = dataclasses.replace(
             self._bitap_lay, unroll=ps._fit_unroll(self._bitap_lay.unroll, t_tile)
         )
-        V = lay.n_words
+        VT = len(lay.all_words())
+        has_trap = lay.has_trap
         kernel = bs._make_bitap_count_kernel(t_tile, R_local, n_tiles, 1, lay)
         interp = self._interpret
+        rc_spec = pl.BlockSpec((R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        rc_shape = jax.ShapeDtypeStruct((R_local, 128), jnp.int32)
 
         def per_shard(btab, streams, warm, vend):
             # Warm mask only: bitap eligibility guarantees pad bytes zero
             # the register, so no valid-end freeze is needed (the second
             # boundary scalar is the interior-tile no-freeze sentinel).
             bscal = jnp.stack([warm.max(), jnp.int32(1 << 30)]).astype(jnp.int32)
-            counts = pl.pallas_call(
+            out = pl.pallas_call(
                 kernel,
                 grid=(n_tiles,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec((2 * V, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec(
-                        (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
-                    ),
+                    pl.BlockSpec((2 * VT, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    rc_spec,
                     pl.BlockSpec(
                         (t_tile, R_local, 128),
                         lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                 ],
-                out_specs=pl.BlockSpec(
-                    (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
-                ),
-                out_shape=jax.ShapeDtypeStruct((R_local, 128), jnp.int32),
+                out_specs=[rc_spec, rc_spec] if has_trap else rc_spec,
+                out_shape=[rc_shape, rc_shape] if has_trap else rc_shape,
                 scratch_shapes=[
-                    pltpu.VMEM((V, R_local, 128), jnp.int32),
+                    pltpu.VMEM((VT, R_local, 128), jnp.int32),
                     pltpu.VMEM((R_local, 128), jnp.int32),
-                ],
+                ]
+                + ([pltpu.VMEM((R_local, 128), jnp.int32)] if has_trap else []),
                 interpret=interp,
             )(
                 bscal,
@@ -466,7 +465,13 @@ class DistributedAcEngine:
                 streams.reshape(T, R_local, 128),
             )
             live = vend.reshape(R_local, 128) > 0
-            return jax.lax.psum(jnp.where(live, counts, 0), all_axes)
+            if has_trap:
+                counts, trap = out
+                stacked = jnp.stack(
+                    [jnp.where(live, counts, 0), jnp.where(live, trap, 0)]
+                )
+                return jax.lax.psum(stacked, all_axes)
+            return jax.lax.psum(jnp.where(live, out, 0), all_axes)
 
         shard_fn = jax.shard_map(
             per_shard,
@@ -495,33 +500,44 @@ class DistributedAcEngine:
         lay = dataclasses.replace(
             self._bitap_lay, unroll=ps._fit_unroll(self._bitap_lay.unroll, t_tile)
         )
-        V = lay.n_words
+        VT = len(lay.all_words())
+        has_trap = lay.has_trap
         kernel = bs._make_bitap_contains_kernel(t_tile, R_local, n_tiles, 1, lay)
         interp = self._interpret
+        rc_spec = pl.BlockSpec((R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        rc_shape = jax.ShapeDtypeStruct((R_local, 128), jnp.int32)
 
         def per_shard(btab, streams, warm, vend):
             out = pl.pallas_call(
                 kernel,
                 grid=(n_tiles,),
                 in_specs=[
-                    pl.BlockSpec((2 * V, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2 * VT, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec(
                         (t_tile, R_local, 128),
                         lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                 ],
-                out_specs=pl.BlockSpec(
-                    (R_local, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
-                ),
-                out_shape=jax.ShapeDtypeStruct((R_local, 128), jnp.int32),
+                out_specs=[rc_spec, rc_spec] if has_trap else rc_spec,
+                out_shape=[rc_shape, rc_shape] if has_trap else rc_shape,
                 scratch_shapes=[
-                    pltpu.VMEM((V, R_local, 128), jnp.int32),
+                    pltpu.VMEM((VT, R_local, 128), jnp.int32),
                     pltpu.VMEM((R_local, 128), jnp.int32),
-                ],
+                ]
+                + ([pltpu.VMEM((R_local, 128), jnp.int32)] if has_trap else []),
                 interpret=interp,
             )(btab, streams.reshape(T, R_local, 128))
             live = vend.reshape(R_local, 128) > 0
+            if has_trap:
+                hits, trap = out
+                stacked = jnp.stack(
+                    [
+                        jnp.where(live, hits != 0, False).sum().astype(jnp.int32),
+                        jnp.where(live, trap != 0, False).sum().astype(jnp.int32),
+                    ]
+                )
+                return jax.lax.psum(stacked, all_axes)
             hit = jnp.where(live, out != 0, False)
             return jax.lax.psum(hit.sum().astype(jnp.int32), all_axes)
 
@@ -795,11 +811,29 @@ class DistributedAcEngine:
             # The step returns psum'd per-stream int32 counts; the exact
             # total is reduced here in host int64 (device int64 is
             # unavailable without jax_enable_x64).
-            return int(
-                np.asarray(
-                    step(*table_args, staged.streams_d, staged.warm_d, staged.vend_d)
-                ).sum(dtype=np.int64)
+            res = np.asarray(
+                step(*table_args, staged.streams_d, staged.warm_d, staged.vend_d)
             )
+            if (
+                self._bitap_lay is not None
+                and self._bitap_lay.has_trap
+                and res.ndim == 3
+            ):
+                counts, trap = res[0], res[1]
+                if (trap != 0).any():
+                    # A length-changing unlowering occurs in the corpus:
+                    # rerun on the exact dense per-shard step.
+                    dstep, dargs = self._get_dense_step(
+                        staged.plan.time_len, staged.plan.n_streams
+                    )
+                    return int(
+                        np.asarray(
+                            dstep(*dargs, staged.streams_d, staged.warm_d,
+                                  staged.vend_d)
+                        ).sum(dtype=np.int64)
+                    )
+                return int(counts.sum(dtype=np.int64))
+            return int(res.sum(dtype=np.int64))
         except (RuntimeError, NotImplementedError, ValueError):  # pragma: no cover
             if getattr(self, "_c16g", None) is None:
                 raise
@@ -829,6 +863,26 @@ class DistributedAcEngine:
             self._count_step = {}
         if key not in self._count_step:
             self._count_step[key] = self._build_count_step(T, S)
+        return self._count_step[key]
+
+    def _get_dense_step(self, T: int, S: int, sticky: bool = False):
+        """The non-bitap per-shard step (dense/comb16 inner): the exact
+        fallback program when a CI bitap trap fires on the mesh.  Compiled
+        lazily — trap-free corpora never pay for it."""
+        if self._count_step is None:
+            self._count_step = {}
+        key = ("dense-sticky", T, S) if sticky else ("dense", T, S)
+        if key not in self._count_step:
+            saved = self._bitap_lay
+            self._bitap_lay = None
+            try:
+                self._count_step[key] = (
+                    self._build_contains_step(T, S)
+                    if sticky
+                    else self._build_count_step(T, S)
+                )
+            finally:
+                self._bitap_lay = saved
         return self._count_step[key]
 
     # -- existence (sticky absorbing-state kernel) ---------------------------
@@ -940,9 +994,26 @@ class DistributedAcEngine:
             )
         fn, table_args = self._count_step[key]
         try:
-            return int(np.asarray(
+            res = np.asarray(
                 fn(*table_args, staged.streams_d, staged.warm_d, staged.vend_d)
-            )) > 0
+            )
+            if (
+                self._bitap_lay is not None
+                and self._bitap_lay.has_trap
+                and res.ndim == 1
+            ):
+                if int(res[0]) > 0:
+                    return True  # a track hit is genuine even under traps
+                if int(res[1]) > 0:
+                    dfn, dargs = self._get_dense_step(
+                        staged.plan.time_len, staged.plan.n_streams, sticky=True
+                    )
+                    return int(np.asarray(
+                        dfn(*dargs, staged.streams_d, staged.warm_d,
+                            staged.vend_d)
+                    )) > 0
+                return False
+            return int(res) > 0
         except (RuntimeError, NotImplementedError, ValueError):  # pragma: no cover
             if getattr(self, "_c16g", None) is None:
                 raise

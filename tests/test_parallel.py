@@ -407,10 +407,10 @@ def test_ci_bitap_inner_trapless(monkeypatch):
     assert engine.contains_any(st) == (exp > 0)
 
 
-def test_ci_bitap_inner_trap_bearing_stays_dense():
-    """Trap-bearing CI sets ('i' pulls the İ trap) must NOT engage the
-    mesh bitap inner (no second compiled fallback program on the mesh) —
-    they keep the exact dense inner."""
+def test_ci_bitap_inner_trap_bearing_engages():
+    """Trap-bearing CI sets ('i' pulls the İ trap) engage the mesh bitap
+    inner too (embedded trap tracks + psum'd trap plane); an İ corpus
+    falls back to the dense per-shard step and stays exact."""
     from alfred_margaret_tpu.models import case_dfa
     from alfred_margaret_tpu.utils.case import IGNORE_CASE
 
@@ -419,5 +419,40 @@ def test_ci_bitap_inner_trap_bearing_stays_dense():
     hay = "TSHIRT tshİrt SHIRTS filler ".encode() * 200
     mesh = make_mesh(jax.devices()[:4], data=4, seq=1)
     engine = DistributedAcEngine(cm, mesh, inner="pallas", interpret=True)
-    assert engine._bitap_lay is None
+    assert engine._bitap_lay is not None and engine._bitap_lay.has_trap
     assert engine.count(hay) == ac.count_matches(m, hay, IGNORE_CASE)
+
+
+def test_ci_bitap_inner_trap_fallback_mesh():
+    """Trap-bearing composed-CI sets now ride the mesh bitap inner with a
+    psum'd sticky trap plane; a Kelvin-K corpus must trigger the lazy
+    dense per-shard fallback and stay exact."""
+    from alfred_margaret_tpu.models import case_dfa
+    from alfred_margaret_tpu.utils.case import IGNORE_CASE
+
+    m = ac.build([(n, i) for i, n in enumerate(["kilo", "tshirt"])])
+    cm = case_dfa.compose_build(list(zip(m.needles, m.values)), machine=m)
+    mesh = make_mesh(jax.devices()[:4], data=2, seq=2)
+    engine = DistributedAcEngine(cm, mesh, inner="pallas", interpret=True)
+    assert engine._bitap_lay is not None and engine._bitap_lay.has_trap
+
+    clean = b"KILO tshirt kIlO filler " * 150
+    exp = ac.count_matches(m, clean, IGNORE_CASE)
+    assert engine.count(clean) == exp
+    # no trap fired: the dense fallback step must NOT have been built
+    assert not any(
+        isinstance(k, tuple) and k and k[0] == "dense"
+        for k in (engine._count_step or {})
+    )
+
+    kelvin = ("xyz \u212aILO abc " * 60).encode()  # Kelvin sign K
+    exp2 = ac.count_matches(m, kelvin, IGNORE_CASE)
+    assert exp2 == 60
+    assert engine.count(kelvin) == exp2
+    # the trap drove the lazy dense step into existence
+    assert any(
+        isinstance(k, tuple) and k and k[0] == "dense"
+        for k in engine._count_step
+    )
+    assert engine.contains_any(kelvin) is True
+    assert engine.contains_any(b"zz" * 400) is False
