@@ -305,16 +305,46 @@ def plan_bitap_ci(
     )
 
 
-def _b_of(byte_rc, b_rows, fold: bool):
+#: Max distinct nonzero high-half B entries served by the compare-select
+#: chain instead of a second row gather (the embedded-trap case: a couple
+#: of non-ASCII trap bytes inside an otherwise-ASCII word).
+HI_PAIR_MAX = 8
+
+
+def _hi_pairs(btab: np.ndarray):
+    """[(byte, mask)] for a sparse high half, or None.
+
+    Eligible when ``btab[127] == 0`` (so the low-row gather covers bytes
+    0..127 exactly) and at most ``HI_PAIR_MAX`` bytes >= 128 have nonzero
+    masks: the kernel then computes the high-half mask as a short
+    compare-select chain — one gather total, where the 2-row path costs
+    two gathers + a select."""
+    if btab[127] != 0:
+        return None
+    nz = [(b, int(btab[b])) for b in range(128, 256) if btab[b]]
+    if not nz or len(nz) > HI_PAIR_MAX:
+        return None
+    return tuple(nz)
+
+
+def _b_of(byte_rc, b_rows, fold: bool, hi_pairs=None):
     """byte -> int32 track mask via the 256-entry B table ([2,128] rows).
 
     The gather depends on the input byte only — it never touches the D
     carry chain, which is what lets this loop run past the dense kernel's
-    dependent-gather floor."""
+    dependent-gather floor.  Three static modes: ``fold`` (high half all
+    equal — one min + one gather), ``hi_pairs`` (sparse high half — one
+    gather + a compare-select chain), 2-row (two gathers + select)."""
     if fold:
         return jnp.take_along_axis(b_rows[0], jnp.minimum(byte_rc, 127), axis=1)
     blo = byte_rc & 127
     m0 = jnp.take_along_axis(b_rows[0], blo, axis=1)
+    if hi_pairs is not None:
+        m1 = None
+        for bv, mask in hi_pairs:
+            hit = jnp.where(byte_rc == bv, jnp.int32(mask), 0)
+            m1 = hit if m1 is None else m1 | hit
+        return jnp.where(byte_rc < 128, m0, m1)
     m1 = jnp.take_along_axis(b_rows[1], blo, axis=1)
     return jnp.where(byte_rc < 128, m0, m1)
 
@@ -370,6 +400,7 @@ def _make_bitap_count_kernel(
         b_rows = _broadcast_rows(btab_ref[:], 2 * VT, R)
         warm = warm_ref[:]
         t0 = tmod * T_TILE
+        hp = [_hi_pairs(wl.btab) if not wl.fold else None for wl in lay.all_words()]
 
         def make_body(masked):
             def body(u, carry):
@@ -384,7 +415,7 @@ def _make_bitap_count_kernel(
                     t = u * unroll + j
                     byte = streams_ref[t].astype(jnp.int32)
                     for w, wl in enumerate(lay.words):
-                        B = _b_of(byte, b_rows[2 * w : 2 * w + 2], wl.fold)
+                        B = _b_of(byte, b_rows[2 * w : 2 * w + 2], wl.fold, hp[w])
                         D[w] = ((D[w] << 1) | jnp.int32(int(wl.seed))) & B
                         e = D[w] & jnp.int32(int(wl.endmask))
                         if masked:
@@ -393,7 +424,7 @@ def _make_bitap_count_kernel(
                         if wl.trap_endmask:
                             tr = tr | (D[w] & jnp.int32(int(wl.trap_endmask)))
                     if trap is not None:
-                        B = _b_of(byte, b_rows[2 * V : 2 * V + 2], trap.fold)
+                        B = _b_of(byte, b_rows[2 * V : 2 * V + 2], trap.fold, hp[V])
                         D[V] = ((D[V] << 1) | jnp.int32(int(trap.seed))) & B
                         tr = tr | (D[V] & jnp.int32(int(trap.endmask)))
                 for w, wl in enumerate(lay.words):
@@ -471,6 +502,7 @@ def _make_bitap_contains_kernel(
                 trap_scr[:] = jnp.zeros((R, 128), jnp.int32)
 
         b_rows = _broadcast_rows(btab_ref[:], 2 * VT, R)
+        hp = [_hi_pairs(wl.btab) if not wl.fold else None for wl in lay.all_words()]
 
         def body(u, carry):
             if has_trap:
@@ -483,13 +515,13 @@ def _make_bitap_contains_kernel(
                 t = u * unroll + j
                 byte = streams_ref[t].astype(jnp.int32)
                 for w, wl in enumerate(lay.words):
-                    B = _b_of(byte, b_rows[2 * w : 2 * w + 2], wl.fold)
+                    B = _b_of(byte, b_rows[2 * w : 2 * w + 2], wl.fold, hp[w])
                     D[w] = ((D[w] << 1) | jnp.int32(int(wl.seed))) & B
                     hits = hits | (D[w] & jnp.int32(int(wl.endmask)))
                     if wl.trap_endmask:
                         tr = tr | (D[w] & jnp.int32(int(wl.trap_endmask)))
                 if trap is not None:
-                    B = _b_of(byte, b_rows[2 * V : 2 * V + 2], trap.fold)
+                    B = _b_of(byte, b_rows[2 * V : 2 * V + 2], trap.fold, hp[V])
                     D[V] = ((D[V] << 1) | jnp.int32(int(trap.seed))) & B
                     tr = tr | (D[V] & jnp.int32(int(trap.endmask)))
             return (*D, hits, tr) if has_trap else (*D, hits)
@@ -548,6 +580,7 @@ def _make_bitap_presence_kernel(
             hit_scr[:] = jnp.zeros((VT, R, 128), jnp.int32)
 
         b_rows = _broadcast_rows(btab_ref[:], 2 * VT, R)
+        hp = [_hi_pairs(wl.btab) if not wl.fold else None for wl in lay.all_words()]
 
         def body(u, carry):
             D = list(carry[:VT])
@@ -556,7 +589,7 @@ def _make_bitap_presence_kernel(
                 t = u * unroll + j
                 byte = streams_ref[t].astype(jnp.int32)
                 for w, wl in enumerate(lay.all_words()):
-                    B = _b_of(byte, b_rows[2 * w : 2 * w + 2], wl.fold)
+                    B = _b_of(byte, b_rows[2 * w : 2 * w + 2], wl.fold, hp[w])
                     D[w] = ((D[w] << 1) | jnp.int32(int(wl.seed))) & B
                     m = int(wl.endmask) | int(wl.trap_endmask)
                     H[w] = H[w] | (D[w] & jnp.int32(m))
@@ -747,6 +780,7 @@ class BitapAcEngine(PallasAcEngine):
         wl = lay.words[0]
         seed_i, endmask_i, fold = int(wl.seed), int(wl.endmask), wl.fold
         fields = wl.fields
+        hp0 = _hi_pairs(wl.btab) if not fold else None
 
         def step_factory(table_refs, R):
             (btab_ref,) = table_refs
@@ -754,7 +788,7 @@ class BitapAcEngine(PallasAcEngine):
             carry0 = jnp.zeros((R, 128), jnp.int32)
 
             def step(D, byte_rc):
-                B = _b_of(byte_rc, b_rows, fold)
+                B = _b_of(byte_rc, b_rows, fold, hp0)
                 D = ((D << 1) | jnp.int32(seed_i)) & B
                 cnt = None
                 for eb, h, w in fields:
