@@ -635,6 +635,7 @@ class MatchEngine:
                 if hasattr(eng, "value_presence"):  # grouped multi-pass engine
                     return eng.value_presence(data, len(m.values))
                 bitap = getattr(eng, "bitap", None)
+                st = None  # staged once, shared by both staged paths below
                 if bitap is not None:
                     # ONE sticky bitap scan: each track's end bit is a
                     # per-needle flag (value ids align with needle entries).
@@ -647,7 +648,8 @@ class MatchEngine:
                 if hasattr(eng, "match_positions_staged"):
                     # Device-side compaction: only hit states come back;
                     # reuse the staged device streams when given.
-                    st = text.device if _has_device(text) else eng.stage(data)
+                    if st is None:
+                        st = text.device if _has_device(text) else eng.stage(data)
                     _, hit = eng.match_positions_staged(st)
                     return ac.presence_of_states(m, hit, len(m.values))
                 states = eng.final_states(data)

@@ -321,10 +321,17 @@ class CppBitapEngine:
         )
 
     def first_hit(self, text: utf8.TextLike) -> int:
-        """First match END (one past the last byte), or -1."""
+        """First match END (one past the last byte), or -1.
+
+        Honors the CI trap contract like count/contains: a length-changing
+        unlowering anywhere in the corpus could hide an EARLIER match from
+        the byte-class tracks, so trap-bearing corpora take the composed
+        DFA (a bitap hit alone is genuine, but not provably first)."""
         data = np.ascontiguousarray(utf8.to_u8(text))
         if len(data) == 0:
             return -1
+        if self._trap_fires(data):
+            return self._fallback().first_hit(data)
         return int(
             self.lib.am_bitap_first(
                 self.btab.ctypes.data, self.seed, self.endmask,

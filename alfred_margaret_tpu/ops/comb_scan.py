@@ -920,6 +920,53 @@ def plan_pallas(machine, max_rows: int = MAX_ROWS):
     return min(options, key=lambda o: (o[1], rank[o[0]]))
 
 
+def bitap_word_budget(gcost) -> int:
+    """Bitap register-word budget given the ladder's gather cost.
+
+    Paired on-chip crossover (experiments/tpu_bitap_midtier.py,
+    2026-08-20): under load bitap runs ~170/V GB/s while the ladder holds
+    the 165/gathers law or better (comb g=2: 70-89, g=3: 61-78, comb16
+    g=4: 40), so bitap wins only while V <~ 0.9*g — measured: V=2 vs g=2
+    1.5x bitap, V=3 vs g=2 0.8-0.93x ladder, V>=4 ladder at every g<=4.
+    V<=2 always engages (g=1 single-row dense tables only exist for sets
+    that fit one word, and V=1 beats everything 1.5-4.9x).  ``gcost=None``
+    (nothing single-pass fits) gets the full budget.
+    """
+    return 8 if gcost is None else max(2, min(8, 9 * int(gcost) // 10))
+
+
+def plan_bitap_auto(machine: AcMachine, max_rows: int = MAX_ROWS):
+    """Bitap layout under the measured gcost crossover budget, or None.
+
+    Shared by the single-chip dispatcher (make_pallas_engine) and the
+    mesh inner chooser (parallel.shard) so both apply the same word-budget
+    law.  AMT_BITAP=0 disables.  A CI trap word costs one more register
+    (measured ~parity vs composed dense at V'=2; keeps the light-load
+    upside, bandwidth-bound vs issue-bound).
+    """
+    import os
+
+    if os.environ.get("AMT_BITAP") == "0":
+        return None
+    from .bitap_scan import plan_bitap, plan_bitap_ci
+
+    try:
+        _, gcost = plan_pallas(machine, max_rows)
+    except CapacityError:
+        gcost = None
+    budget = bitap_word_budget(gcost)
+    lay = plan_bitap(machine, max_words=budget)
+    if lay is None and getattr(machine, "composed_ci", False):
+        # Composed IgnoreCase machines take the byte-class bitap with
+        # the length-changing-unlowering trap guard (ops.bitap_scan).
+        lay = plan_bitap_ci(machine, max_words=budget)
+    if lay is not None and lay.trap is not None and lay.n_words + 1 > max(
+        2, budget
+    ):
+        lay = None
+    return lay
+
+
 def make_pallas_engine(machine: AcMachine, max_rows: int = MAX_ROWS, **kw):
     """Build the cheapest of the bitap / dense / comb / comb16 Pallas engines.
 
@@ -930,38 +977,15 @@ def make_pallas_engine(machine: AcMachine, max_rows: int = MAX_ROWS, **kw):
     placement overflows, falls back down the ladder (comb16 -> comb ->
     dense) to whatever fits.
     """
-    import os
-
     try:
         kind, gcost = plan_pallas(machine, max_rows)
     except CapacityError:
         kind = gcost = None  # nothing single-pass fits; bitap may still
-    if os.environ.get("AMT_BITAP") != "0":
-        from .bitap_scan import BitapAcEngine, plan_bitap, plan_bitap_ci
+    lay = plan_bitap_auto(machine, max_rows)
+    if lay is not None:
+        from .bitap_scan import BitapAcEngine
 
-        # Word budget (paired on-chip crossover, experiments/
-        # tpu_bitap_midtier.py, 2026-08-20): under load bitap runs ~170/V
-        # GB/s while the ladder holds the 165/gathers law or better (comb
-        # g=2: 70-89, g=3: 61-78, comb16 g=4: 40), so bitap wins only
-        # while V <~ 0.9*g — measured: V=2 vs g=2 1.5x bitap, V=3 vs g=2
-        # 0.8-0.93x ladder, V>=4 ladder at every g<=4.  V<=2 always
-        # engages (g=1 single-row dense tables only exist for sets that
-        # fit one word, and V=1 beats everything 1.5-4.9x).  A CI trap
-        # word costs one more word (measured ~parity vs composed dense at
-        # V'=2; keeps the light-load upside, bandwidth-bound vs
-        # issue-bound).
-        budget = 8 if gcost is None else max(2, min(8, 9 * int(gcost) // 10))
-        lay = plan_bitap(machine, max_words=budget)
-        if lay is None and getattr(machine, "composed_ci", False):
-            # Composed IgnoreCase machines take the byte-class bitap with
-            # the length-changing-unlowering trap guard (ops.bitap_scan).
-            lay = plan_bitap_ci(machine, max_words=budget)
-        if lay is not None and lay.trap is not None and lay.n_words + 1 > max(
-            2, budget
-        ):
-            lay = None
-        if lay is not None:
-            return BitapAcEngine(machine, layout=lay, max_rows=max_rows, **kw)
+        return BitapAcEngine(machine, layout=lay, max_rows=max_rows, **kw)
     if kind is None:
         # Re-derive the CapacityError message for the grouped fallback.
         plan_pallas(machine, max_rows)
@@ -983,9 +1007,11 @@ def make_pallas_engine(machine: AcMachine, max_rows: int = MAX_ROWS, **kw):
 __all__ = [
     "CombMachine",
     "CombPallasAcEngine",
+    "bitap_word_budget",
     "build_comb",
     "comb_structure_cost",
     "make_pallas_engine",
+    "plan_bitap_auto",
     "plan_pallas",
 ]
 

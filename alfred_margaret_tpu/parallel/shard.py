@@ -164,21 +164,15 @@ class DistributedAcEngine:
         # program — the sets that fit 30 bits never need a needle axis.
         self._bitap_lay = None
         if self.inner == "pallas" and self.n_needle_groups == 1:
-            import os as _os
+            from ..ops.comb_scan import plan_bitap_auto
 
-            if _os.environ.get("AMT_BITAP") != "0":
-                from ..ops.bitap_scan import plan_bitap, plan_bitap_ci
-
-                self._bitap_lay = plan_bitap(machine)
-                if self._bitap_lay is None and getattr(
-                    machine, "composed_ci", False
-                ):
-                    # Composed IgnoreCase byte-class layouts, incl.
-                    # trap-bearing ones: the steps then psum a sticky trap
-                    # plane alongside the result and count_staged /
-                    # contains_any rerun the dense per-shard step when a
-                    # length-changing unlowering occurs in the corpus.
-                    self._bitap_lay = plan_bitap_ci(machine)
+            # Same gcost-derived word budget as the single-chip dispatcher
+            # (a V=3+trap CI layout can lose to the dense/comb ladder; the
+            # crossover law is identical per shard).  Composed-IgnoreCase
+            # trap-bearing layouts psum a sticky trap plane alongside the
+            # result and count_staged / contains_any rerun the dense
+            # per-shard step when a length-changing unlowering occurs.
+            self._bitap_lay = plan_bitap_auto(machine)
             if self._bitap_lay is not None:
                 wl_all = self._bitap_lay.all_words()
                 bt = np.stack([wl.btab for wl in wl_all])
@@ -272,13 +266,13 @@ class DistributedAcEngine:
 
     # -- jitted step -------------------------------------------------------
 
-    def _build_count_step(self, T: int, S: int):
+    def _build_count_step(self, T: int, S: int, use_bitap: bool = True):
         mesh = self.mesh
         stream_axes = self._stream_axes
         all_axes = self._all_axes
         S_local = S // self.n_stream_shards
 
-        if self.inner == "pallas" and self._bitap_lay is not None:
+        if self.inner == "pallas" and use_bitap and self._bitap_lay is not None:
             return self._build_bitap_count_step(T, S)
         if self.inner == "pallas" and self._c16g is not None:
             return self._build_c16_count_step(T, S)
@@ -873,21 +867,18 @@ class DistributedAcEngine:
             self._count_step = {}
         key = ("dense-sticky", T, S) if sticky else ("dense", T, S)
         if key not in self._count_step:
-            saved = self._bitap_lay
-            self._bitap_lay = None
-            try:
-                self._count_step[key] = (
-                    self._build_contains_step(T, S)
-                    if sticky
-                    else self._build_count_step(T, S)
-                )
-            finally:
-                self._bitap_lay = saved
+            # use_bitap=False (not a temporary _bitap_lay mutation, which
+            # would race a concurrent count/contains on this engine).
+            self._count_step[key] = (
+                self._build_contains_step(T, S, use_bitap=False)
+                if sticky
+                else self._build_count_step(T, S, use_bitap=False)
+            )
         return self._count_step[key]
 
     # -- existence (sticky absorbing-state kernel) ---------------------------
 
-    def _build_contains_step(self, T: int, S: int):
+    def _build_contains_step(self, T: int, S: int, use_bitap: bool = True):
         """Per-shard sticky (absorbing-state) scan: no count accumulation,
         psum of per-shard absorb flags — the mesh analogue of the
         single-chip existence kernel (``ops.pallas_scan._StickyView``)."""
@@ -896,7 +887,7 @@ class DistributedAcEngine:
 
         from ..ops import pallas_scan as ps
 
-        if self.inner == "pallas" and self._bitap_lay is not None:
+        if self.inner == "pallas" and use_bitap and self._bitap_lay is not None:
             return self._build_bitap_contains_step(T, S)
         svs = [ps._StickyView(sm) for sm in self.sub_machines]
         comps = [ps.CompressedMachine.from_machine(sv, force_packing=1) for sv in svs]

@@ -68,22 +68,31 @@ def _time_device_scan(eng, data: np.ndarray, reps: int):
     return best, count
 
 
-def _tpu_measure(machine, data: np.ndarray, n_full: int):
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: the bench warmup paid ~173 s of
+    relay compile in round 4; a repo-local cache makes repeat runs start
+    hot.  Best-effort — unsupported backends just compile as before."""
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover
+        log(f"compile cache unavailable: {e}")
+
+
+def _slope(eng, data: np.ndarray, n_full: int, peak_bps: float):
     """Slope between a low-rep and a high-rep device-resident scan.
 
     Wide rep spread: the ~30 ms relay round-trip jitters by up to ~10 ms
-    between runs, so the slope denominator must dwarf it.  Returns
-    (bytes/s, single-rep count)."""
-    from alfred_margaret_tpu.ops.comb_scan import make_pallas_engine
-
-    # Factory picks the fastest eligible kernel (bitap for this needle
-    # set — ops.bitap_scan); the rep spread is sized so that even at the
-    # bitap rate (~600 GB/s) the slope denominator is ~100 ms of kernel.
-    eng = make_pallas_engine(machine)
-    # Size the rep spread so the slope denominator is ~150 ms of kernel
-    # even at the bitap rate (~600 GB/s) and with a shrunken corpus.
+    between runs, so the slope denominator must dwarf it — sized for
+    ~150 ms of kernel even at ``peak_bps`` and with a shrunken corpus.
+    Returns (bytes/s, single-rep count)."""
     r_lo = 2
-    r_hi = max(502, min(4002, int(0.15 * 600e9 / max(n_full, 1))))
+    r_hi = max(502, min(4002, int(0.15 * peak_bps / max(n_full, 1))))
     t_lo, c_lo = _time_device_scan(eng, data, r_lo)
     t_hi, c_hi = _time_device_scan(eng, data, r_hi)
     assert c_lo * r_hi == c_hi * r_lo, f"rep-count mismatch {c_lo}x{r_hi} != {c_hi}x{r_lo}"
@@ -93,6 +102,30 @@ def _tpu_measure(machine, data: np.ndarray, n_full: int):
         value = r_hi * n_full / t_hi  # overhead-dominated; report raw
         log("slope degenerate; reporting raw rate")
     return value, c_lo // r_lo
+
+
+def _tpu_measure(machine, data: np.ndarray, n_full: int):
+    """(bytes/s, single-rep count) for the production dispatch (bitap for
+    this needle set — ops.bitap_scan)."""
+    from alfred_margaret_tpu.ops.comb_scan import make_pallas_engine
+
+    return _slope(make_pallas_engine(machine), data, n_full, peak_bps=600e9)
+
+
+def _tpu_dense_control(machine, data: np.ndarray, n_full: int):
+    """Paired dense-kernel rate on the same corpus in the same session.
+
+    The bitap headline is load-dependent (measured 215-640 GB/s across
+    sessions — experiments/tpu_bitap_ab.py); the dense kernel's
+    dependent-gather floor (~165 GB/s) is the stable weather gauge, so
+    emitting both lets BENCH_r*.json files be compared across rounds."""
+    os.environ["AMT_BITAP"] = "0"
+    try:
+        from alfred_margaret_tpu.ops.comb_scan import make_pallas_engine
+
+        return _slope(make_pallas_engine(machine), data, n_full, peak_bps=200e9)
+    finally:
+        os.environ.pop("AMT_BITAP", None)
 
 
 def _staging_mb_budget() -> int:
@@ -118,22 +151,37 @@ def _tpu_child() -> int:
 
     Parity is checked HERE against the native C++ DFA on the same corpus
     (the parent's corpus may be larger when the staging probe shrinks
-    ours, so its count is not comparable)."""
+    ours, so its count is not comparable); a missing native toolchain
+    downgrades the check to a warning instead of failing the benchmark."""
     from alfred_margaret_tpu.bench.dataformat import synth_corpus
     from alfred_margaret_tpu.models import ac
-    from alfred_margaret_tpu.native.cpp_engine import CppAcEngine
 
+    _enable_compile_cache()
     mb = _staging_mb_budget()
     n_eff = mb * 1024 * 1024
     corpus = synth_corpus(NEEDLES, n_eff, hit_fraction=0.01, seed=3)
     data = np.frombuffer(corpus, dtype=np.uint8)
     machine = ac.build([(n, i) for i, n in enumerate(NEEDLES)])
     value, count = _tpu_measure(machine, data, n_eff)
-    expected = CppAcEngine(machine).count(data)
+    try:
+        from alfred_margaret_tpu.native.cpp_engine import CppAcEngine
+
+        expected = CppAcEngine(machine).count(data)
+    except Exception as e:  # NativeUnavailable: no compiler on this host
+        log(f"WARNING native parity check skipped ({e})")
+        expected = count
     if count != expected:
         log(f"PARITY MISMATCH device {count} != cpp {expected}")
         return 1
-    print(f"TPU_RESULT {value} {count}", flush=True)
+    try:
+        dense_value, dense_count = _tpu_dense_control(machine, data, n_eff)
+        if dense_count != count:
+            log(f"PARITY MISMATCH dense control {dense_count} != {count}")
+            return 1
+    except Exception as e:  # pragma: no cover - control is best-effort
+        log(f"dense control unavailable: {e}")
+        dense_value = 0.0
+    print(f"TPU_RESULT {value} {count} {dense_value}", flush=True)
     return 0
 
 
@@ -164,9 +212,15 @@ def main() -> int:
 
     # --- TPU pallas kernel, under a watchdog subprocess -------------------
     value = None
+    dense_value = None
     try:
         if os.environ.get("AM_BENCH_INPROC"):
+            _enable_compile_cache()
             value, c_base = _tpu_measure(machine, data, n_full)
+            try:
+                dense_value, _ = _tpu_dense_control(machine, data, n_full)
+            except Exception as e:
+                log(f"dense control unavailable: {e}")
         else:
             import subprocess
 
@@ -202,8 +256,11 @@ def main() -> int:
                 raise RuntimeError(
                     f"tpu child exited {proc.returncode}: {proc.stderr[-300:]!r}"
                 )
-            _, v, c = result_lines[-1].split()
-            value, c_base = float(v), int(c)
+            parts = result_lines[-1].split()
+            value, c_base = float(parts[1]), int(parts[2])
+            dense_value = float(parts[3]) if len(parts) > 3 else None
+            if dense_value is not None and dense_value <= 0:
+                dense_value = None
             expected = None  # child checked parity on ITS (possibly smaller) corpus
         if expected is not None:
             assert c_base == expected, f"count mismatch {c_base} != {expected}"
@@ -217,16 +274,22 @@ def main() -> int:
         value = n_full / (time.perf_counter() - t0)
 
     vs_baseline = (value / cpp_bps) if cpp_bps else None
-    print(
-        json.dumps(
-            {
-                "metric": "ac_count_bytes_per_sec_chip",
-                "value": round(value, 1),
-                "unit": "bytes/s",
-                "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-            }
-        )
-    )
+    if dense_value:
+        log(f"dense control: {dense_value/1e9:.3f} GB/s "
+            f"(headline/dense = {value/dense_value:.2f}x)")
+    out = {
+        "metric": "ac_count_bytes_per_sec_chip",
+        "value": round(value, 1),
+        "unit": "bytes/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }
+    if dense_value:
+        # Weather gauge: the dense kernel's dependent-gather floor is
+        # load-stable (~165 GB/s); the bitap headline varies 215-640 GB/s
+        # with chip load.  Carrying both makes rounds comparable.
+        out["dense_control_bytes_per_sec"] = round(dense_value, 1)
+        out["headline_vs_dense"] = round(value / dense_value, 3)
+    print(json.dumps(out))
     return 0
 
 
