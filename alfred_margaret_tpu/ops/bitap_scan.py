@@ -610,6 +610,40 @@ def _make_bitap_presence_kernel(
     return kernel
 
 
+def make_host_exact(machine: AcMachine):
+    """Host composed-DFA engine for localized trap recovery (C++ when the
+    toolchain exists, else None — callers fall back to the scalar scan)."""
+    try:
+        from ..native.cpp_engine import CppAcEngine
+
+        return CppAcEngine(machine)
+    except Exception:
+        return None
+
+
+def host_stream_count(machine, host_eng, data, emit_len, n, warm_s, s) -> int:
+    """Exact match count owned by stream ``s`` (ends in its emission
+    region), re-derived from the raw corpus bytes: count(window) minus
+    count(warm prefix) — every match ending in the warm replay lies
+    entirely inside it, so the difference is exactly the matches ending in
+    [start, end).  Shared by the single-chip and mesh localized trap
+    recovery paths."""
+    L = emit_len
+    start = s * L
+    end = min(start + L, n)
+    warm = int(warm_s)
+    lo = start - warm
+    if host_eng is not None:
+        total = host_eng.count(data[lo:end])
+        head = host_eng.count(data[lo:start]) if warm else 0
+    else:
+        from ..models import ac as _ac
+
+        total = _ac.count_matches(machine, data[lo:end])
+        head = _ac.count_matches(machine, data[lo:start]) if warm else 0
+    return total - head
+
+
 class BitapAcEngine(PallasAcEngine):
     """``PallasAcEngine`` with bitap count/contains fast paths.
 
@@ -680,18 +714,66 @@ class BitapAcEngine(PallasAcEngine):
             self._bitap_count[key] = run
         return self._bitap_count[key]
 
+    #: Trapped-stream budget for localized recovery: above this fraction of
+    #: live streams, one full dense re-scan beats per-stream host loops.
+    TRAP_LOCAL_FRAC = 0.01
+
+    def _trapped_streams(self, trap: np.ndarray, st: StagedStreams):
+        """Live stream indices whose trap plane fired, or None when the
+        full dense re-scan is the cheaper recovery (too many trapped
+        streams, or no host copy of the corpus to re-scan from)."""
+        flat = trap.reshape(-1) != 0
+        if st.live_np is not None:
+            flat = flat & st.live_np.reshape(-1)
+        idx = np.flatnonzero(flat)
+        if len(idx) == 0:
+            return idx
+        if st.data_np is None:
+            return None
+        live_n = (
+            int(st.live_np.sum()) if st.live_np is not None else st.plan.n_streams
+        )
+        if len(idx) > max(32, int(live_n * self.TRAP_LOCAL_FRAC)):
+            return None
+        return idx
+
+    def _host_exact(self):
+        """Host engine for per-stream exact recovery (lazy, cached)."""
+        if not hasattr(self, "_host_exact_eng"):
+            self._host_exact_eng = make_host_exact(self.machine)
+        return self._host_exact_eng
+
+    def _host_count_stream(self, st: StagedStreams, s: int) -> int:
+        return host_stream_count(
+            self.machine,
+            self._host_exact(),
+            st.data_np,
+            st.plan.emit_len,
+            st.plan.n,
+            st.warm_np[s],
+            s,
+        )
+
     def count_staged(self, st: StagedStreams, reps: int = 1) -> int:
         fn = self._get_bitap_count_fn(st.plan.time_len, reps)
         out = fn(self._bscal_for(st), self._btab_dev, st.warm_t, st.streams_dev)
         if self.bitap.has_trap:
             counts, trap = (np.asarray(o) for o in out)
-            if st.live_np is not None:
-                trap = trap[st.live_np]
-            if (trap != 0).any():
-                # A length-changing unlowering (İ/K/Å/ẞ/… ) occurs in the
-                # corpus: the byte-class tracks may under-count; rerun on
-                # the exact composed dense kernel.
+            trapped = self._trapped_streams(trap, st)
+            if trapped is None:
+                # Dense fallback: too many trapped streams (or no host
+                # corpus) — a single composed dense scan is cheaper.
                 return super().count_staged(st, reps)
+            if len(trapped):
+                # Localized recovery: a length-changing unlowering
+                # (İ/K/Å/ẞ/…) occurred in a handful of streams; their
+                # byte-class counts may under-count.  Re-derive ONLY those
+                # streams' counts from the raw corpus on the host (a few
+                # KiB each) instead of re-scanning the whole corpus.
+                counts = counts.copy().reshape(-1)
+                for s in trapped:
+                    counts[s] = self._host_count_stream(st, int(s)) * reps
+                counts = counts.reshape(trap.shape)
         else:
             counts = np.asarray(out)
         counts = counts.astype(np.int64)
@@ -758,11 +840,24 @@ class BitapAcEngine(PallasAcEngine):
         )
 
     def contains_staged(self, st: StagedStreams, reps: int = 1) -> bool:
-        hit, trapped = self._contains_raw(st, reps)
-        if hit:
+        fn = self._get_bitap_contains_fn(st.plan.time_len, reps)
+        out = fn(self._btab_dev, st.streams_dev)
+        if self.bitap.has_trap:
+            hits, trap = (np.asarray(o) for o in out)
+        else:
+            hits, trap = np.asarray(out), None
+        live_hits = hits[st.live_np] if st.live_np is not None else hits
+        if (live_hits != 0).any():
             return True  # a track hit is a genuine match even under traps
-        if trapped:
+        if trap is None:
+            return False
+        trapped = self._trapped_streams(trap, st)
+        if trapped is None:
             return super().contains_staged(st, reps)
+        # Localized recovery: only trapped streams could hide a match.
+        for s in trapped:
+            if self._host_count_stream(st, int(s)) > 0:
+                return True
         return False
 
     def _bits_tables(self):

@@ -461,17 +461,21 @@ class DistributedAcEngine:
             live = vend.reshape(R_local, 128) > 0
             if has_trap:
                 counts, trap = out
-                stacked = jnp.stack(
+                # PER-STREAM planes, NOT psum'd: the trap plane localizes
+                # which streams a length-changing unlowering touched, so
+                # recovery re-scans only those streams on the host instead
+                # of paying a full dense re-scan of every shard.  The host
+                # sums counts anyway, so no collective is needed at all.
+                return jnp.stack(
                     [jnp.where(live, counts, 0), jnp.where(live, trap, 0)]
                 )
-                return jax.lax.psum(stacked, all_axes)
             return jax.lax.psum(jnp.where(live, out, 0), all_axes)
 
         shard_fn = jax.shard_map(
             per_shard,
             mesh=mesh,
             in_specs=(P(),) + (P(None, stream_axes), P(stream_axes), P(stream_axes)),
-            out_specs=P(),
+            out_specs=P(None, stream_axes) if has_trap else P(),
             check_vma=False,
         )
         return jax.jit(shard_fn), (self._btab_dev,)
@@ -525,13 +529,11 @@ class DistributedAcEngine:
             live = vend.reshape(R_local, 128) > 0
             if has_trap:
                 hits, trap = out
-                stacked = jnp.stack(
-                    [
-                        jnp.where(live, hits != 0, False).sum().astype(jnp.int32),
-                        jnp.where(live, trap != 0, False).sum().astype(jnp.int32),
-                    ]
+                # PER-STREAM planes (see the count step): the trap plane
+                # localizes recovery to the trapped streams only.
+                return jnp.stack(
+                    [jnp.where(live, hits, 0), jnp.where(live, trap, 0)]
                 )
-                return jax.lax.psum(stacked, all_axes)
             hit = jnp.where(live, out != 0, False)
             return jax.lax.psum(hit.sum().astype(jnp.int32), all_axes)
 
@@ -539,7 +541,7 @@ class DistributedAcEngine:
             per_shard,
             mesh=mesh,
             in_specs=(P(),) + (P(None, stream_axes), P(stream_axes), P(stream_axes)),
-            out_specs=P(),
+            out_specs=P(None, stream_axes) if has_trap else P(),
             check_vma=False,
         )
         return jax.jit(shard_fn), (self._btab_dev,)
@@ -815,8 +817,15 @@ class DistributedAcEngine:
             ):
                 counts, trap = res[0], res[1]
                 if (trap != 0).any():
-                    # A length-changing unlowering occurs in the corpus:
-                    # rerun on the exact dense per-shard step.
+                    # A length-changing unlowering occurs in the corpus.
+                    # The planes are per-stream (not psum'd), so recovery
+                    # is LOCALIZED: re-derive only trapped streams' counts
+                    # from the raw corpus on the host (a few KiB each).
+                    fixed = self._localized_trap_counts(staged, counts, trap)
+                    if fixed is not None:
+                        return fixed
+                    # Too many trapped streams (or no host corpus): one
+                    # full dense re-scan is the cheaper recovery.
                     dstep, dargs = self._get_dense_step(
                         staged.plan.time_len, staged.plan.n_streams
                     )
@@ -850,6 +859,59 @@ class DistributedAcEngine:
 
     def count(self, text) -> int:
         return self.count_staged(self._staged_of(text))
+
+    # -- localized CI trap recovery ----------------------------------------
+
+    def _trapped_stream_idx(self, staged, trap: np.ndarray):
+        """Trapped live stream ids, or None when the full dense re-scan is
+        the cheaper recovery (same budget law as the single-chip engine:
+        ops.bitap_scan.BitapAcEngine.TRAP_LOCAL_FRAC)."""
+        from ..ops.bitap_scan import BitapAcEngine
+
+        idx = np.flatnonzero(trap.reshape(-1) != 0)
+        if len(idx) == 0 or staged.data_np is None:
+            return None if len(idx) else idx
+        live_n = int((staged.vend_np > 0).sum())
+        if len(idx) > max(32, int(live_n * BitapAcEngine.TRAP_LOCAL_FRAC)):
+            return None
+        return idx
+
+    def _host_trap_count(self, staged, s: int) -> int:
+        from ..ops import bitap_scan as bs
+
+        if not hasattr(self, "_host_exact_eng"):
+            self._host_exact_eng = bs.make_host_exact(self.machine)
+        return bs.host_stream_count(
+            self.machine,
+            self._host_exact_eng,
+            staged.data_np,
+            staged.plan.emit_len,
+            staged.plan.n,
+            staged.warm_np[s],
+            s,
+        )
+
+    def _localized_trap_counts(self, staged, counts: np.ndarray, trap: np.ndarray):
+        """Total count with trapped streams' values re-derived on the host
+        from the raw corpus; None when localization is not worthwhile."""
+        idx = self._trapped_stream_idx(staged, trap)
+        if idx is None:
+            return None
+        fixed = counts.astype(np.int64).reshape(-1)
+        for s in idx:
+            fixed[s] = self._host_trap_count(staged, int(s))
+        return int(fixed.sum())
+
+    def _localized_trap_contains(self, staged, trap: np.ndarray):
+        """containsAny verdict given no track hit but trapped streams: only
+        those streams could hide a match.  None = fall back to dense."""
+        idx = self._trapped_stream_idx(staged, trap)
+        if idx is None:
+            return None
+        for s in idx:
+            if self._host_trap_count(staged, int(s)) > 0:
+                return True
+        return False
 
     def _get_step(self, T: int, S: int):
         key = (T, S)
@@ -991,11 +1053,15 @@ class DistributedAcEngine:
             if (
                 self._bitap_lay is not None
                 and self._bitap_lay.has_trap
-                and res.ndim == 1
+                and res.ndim == 3
             ):
-                if int(res[0]) > 0:
+                hits, trap = res[0], res[1]
+                if (hits != 0).any():
                     return True  # a track hit is genuine even under traps
-                if int(res[1]) > 0:
+                if (trap != 0).any():
+                    got = self._localized_trap_contains(staged, trap)
+                    if got is not None:
+                        return got
                     dfn, dargs = self._get_dense_step(
                         staged.plan.time_len, staged.plan.n_streams, sticky=True
                     )

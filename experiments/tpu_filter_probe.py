@@ -44,7 +44,7 @@ from alfred_margaret_tpu.bench.dataformat import synth_corpus
 
 N_MB = int(os.environ.get("PROBE_MB", "64"))
 ROUNDS = int(os.environ.get("PROBE_ROUNDS", "5"))
-R, T_TILE = 256, 128
+R, T_TILE = 256, 64
 S = R * 128
 PAIRS_TILE = T_TILE // 2
 
@@ -59,8 +59,8 @@ def log(msg):
 
 
 def _chains(nd: bytes):
-    """Two alignment chains (lists of (hi_nibble_or_None, lo_nibble_or_None))
-    per needle; None = wildcard half."""
+    """Two alignment chains (lists of (b1_or_None, b2_or_None)) per
+    needle; None = wildcard half."""
     L = len(nd)
     ev = []  # starts at even byte offset
     i = 0
@@ -82,10 +82,14 @@ def _chains(nd: bytes):
 
 
 def _entries(con):
+    """7-bit hash entries: idx = ((b1 & 15) << 3) | (b2 & 7) — single-row
+    tables (128 entries) so one word costs ONE gather per pair-step.  b1
+    keeps the full nibble (end half-pairs gate the end bit: d = k/16); b2
+    keeps 3 bits (start half-pairs: d = k/8)."""
     hi, lo = con
     his = range(16) if hi is None else [hi]
-    los = range(16) if lo is None else [lo]
-    return [(h << 4) | l for h in his for l in los]
+    los = range(8) if lo is None else [lo & 7]
+    return [(h << 3) | l for h in his for l in los]
 
 
 def plan_words(needles, per_bucket, n_words):
@@ -157,7 +161,7 @@ def make_filter_kernel(n_tiles, reps, V, K, shorts, seeds, endmasks, with_bits):
 
         rows = [
             jax.lax.broadcast_in_dim(btab_ref[r], (R, 128), (1,))
-            for r in range(2 * V)
+            for r in range(V)
         ]
 
         def body(w, carry):
@@ -168,14 +172,10 @@ def make_filter_kernel(n_tiles, reps, V, K, shorts, seeds, endmasks, with_bits):
                 t = w * 64 + 2 * j
                 b1 = streams_ref[t].astype(jnp.int32)
                 b2 = streams_ref[t + 1].astype(jnp.int32)
-                idx = ((b1 & 15) << 4) | (b2 & 15)
-                lo = idx & 127
-                hi = idx >> 7
+                idx = ((b1 & 15) << 3) | (b2 & 7)
                 anyend = None
                 for v in range(V):
-                    m0 = jnp.take_along_axis(rows[2 * v], lo, axis=1)
-                    m1 = jnp.take_along_axis(rows[2 * v + 1], lo, axis=1)
-                    B = jnp.where(hi == 0, m0, m1)
+                    B = jnp.take_along_axis(rows[v], idx, axis=1)
                     D[v] = ((D[v] << 1) | jnp.int32(seeds[v])) & B
                     e = D[v] & jnp.int32(endmasks[v])
                     anyend = e if anyend is None else anyend | e
@@ -183,15 +183,15 @@ def make_filter_kernel(n_tiles, reps, V, K, shorts, seeds, endmasks, with_bits):
                     bmp = bmp | jnp.where(anyend != 0, jnp.int32(1) << j, 0)
                 if K:
                     roll = ((roll << 8) | b1) << 8 | b2
+                    rolls = (roll, roll >> 8)
+                    inc = None
                     for mask, const in shorts[:K]:
-                        counts = counts + jnp.where(
-                            (roll & jnp.int32(mask)) == jnp.int32(const), 1, 0
-                        )
-                        counts = counts + jnp.where(
-                            ((roll >> 8) & jnp.int32(mask)) == jnp.int32(const),
-                            1,
-                            0,
-                        )
+                        for rr in rolls:
+                            c = jnp.where(
+                                (rr & jnp.int32(mask)) == jnp.int32(const), 1, 0
+                            )
+                            inc = c if inc is None else inc + c
+                    counts = counts + inc
             if bits_out is not None:
                 bits_out[w] = bmp
             return (*D, roll, counts)
@@ -235,7 +235,7 @@ def build_filter_fn(T, reps, V, K, shorts, seeds, endmasks, with_bits):
             kernel,
             grid=(n_tiles * reps,),
             in_specs=[
-                pl.BlockSpec((2 * V, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((V, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (T_TILE, R, 128),
                     lambda i: (i % n_tiles, 0, 0),
@@ -267,7 +267,7 @@ def numpy_filter(data, seeds, endmasks, btabs):
     D = [0] * V
     for t in range(n_pairs):
         b1, b2 = int(data[2 * t]), int(data[2 * t + 1])
-        idx = ((b1 & 15) << 4) | (b2 & 15)
+        idx = ((b1 & 15) << 3) | (b2 & 7)
         any_e = 0
         for v in range(V):
             D[v] = ((D[v] << 1) | seeds[v]) & int(btabs[v][idx])
@@ -293,13 +293,17 @@ def main():
     long_needles = sorted(
         (n.encode() for n in needles100 if len(n) >= 5), key=len
     )
+    def _i32(v):
+        v &= 0xFFFFFFFF
+        return v - (1 << 32) if v >= (1 << 31) else v
+
     shorts = []
     for n in ["c", "abc", "bcd", "abcd"]:
         b = n.encode()
         const = 0
         for x in b:
             const = (const << 8) | x
-        shorts.append(((1 << (8 * len(b))) - 1, const))
+        shorts.append((_i32((1 << (8 * len(b))) - 1), _i32(const)))
 
     # Stream layout: contiguous slices, no overlap (probe-grade).
     emit = len(data) // S
@@ -313,18 +317,23 @@ def main():
     log(f"corpus {N_MB} MiB -> streams [T={T}, S={S}] = {n_eff/2**20:.0f} MiB")
 
     # --- 1. kernel rate sweep --------------------------------------------
+    # Bucket size ~5: half-pair wildcard positions carry 16 entries per
+    # needle, so k needles/bucket -> d = 16k/256 at chain boundaries; k=5
+    # keeps that at 0.31 while interiors run at k/256.  Words fill until
+    # the needles run out; the V sweep truncates coverage (reported).
+    PER_BUCKET = int(os.environ.get("PROBE_BUCKET", "5"))
     for V in (1, 2, 3, 4):
-        per_bucket = max(1, -(-len(long_needles) // (V * 4)))
-        seeds, endmasks, btabs, used = plan_words(long_needles, per_bucket, V)
+        seeds, endmasks, btabs, used = plan_words(long_needles, PER_BUCKET, V)
         bt = np.stack(btabs).astype(np.int64)
-        btab_dev = jnp.asarray(bt.reshape(2 * V, 128).astype(np.int32))
+        assert (bt >> 31 == 0).all() and bt.shape[1] == 256 and (bt[:, 128:] == 0).all()
+        btab_dev = jnp.asarray(bt[:, :128].astype(np.int32))
         for K in (0, 4):
-            for with_bits in ((True,) if V == 2 else (True, False))[
-                : (2 if V == 2 else 1)
-            ]:
-                tag = f"V={V} K={K} bits={int(with_bits)} (needles used {used})"
+            for with_bits in ((True, False) if K == 0 else (True,)):
+                tag = (
+                    f"V={V} K={K} bits={int(with_bits)} "
+                    f"(needles {used}/{len(long_needles)})"
+                )
                 fires_frac = None
-                reps_pairs = []
                 times = {}
                 for reps in (1, 9):
                     fn = build_filter_fn(
@@ -332,13 +341,15 @@ def main():
                     )
                     t0 = time.perf_counter()
                     out = fn(btab_dev, streams_dev)
-                    jax.block_until_ready(out)
+                    # Materialize: on the axon relay block_until_ready does
+                    # NOT block; a host fetch is the only real sync.
+                    np.asarray(out[0] if with_bits else out)
                     compile_s = time.perf_counter() - t0
                     best = float("inf")
                     for _ in range(ROUNDS):
                         t0 = time.perf_counter()
                         out = fn(btab_dev, streams_dev)
-                        out = jax.block_until_ready(out)
+                        np.asarray(out[0] if with_bits else out)
                         best = min(best, time.perf_counter() - t0)
                     times[reps] = best
                     if reps == 1 and with_bits:
@@ -350,21 +361,20 @@ def main():
                                 .view(np.uint8)
                             ).mean()
                         )
-                    reps_pairs.append((reps, best, compile_s))
                 slope = (times[9] - times[1]) / 8 if times[9] > times[1] else times[9] / 9
                 rate = n_eff / slope
                 log(
-                    f"kernel {tag}: slope {rate/1e9:7.1f} GB/s  raw1 "
-                    f"{n_eff/times[1]/1e9:7.1f} GB/s  fire/pair="
+                    f"kernel {tag}: slope {rate/1e9:7.1f} GB/s  "
+                    f"t1 {times[1]*1e3:7.2f} ms t9 {times[9]*1e3:7.2f} ms  "
+                    f"compile {compile_s:5.1f}s  fire/pair="
                     f"{fires_frac if fires_frac is not None else -1:.6f}"
                 )
 
     # --- oracle check on stream 0 (V=2 plan) -----------------------------
     V = 2
-    per_bucket = max(1, -(-len(long_needles) // (V * 4)))
-    seeds, endmasks, btabs, used = plan_words(long_needles, per_bucket, V)
+    seeds, endmasks, btabs, used = plan_words(long_needles, PER_BUCKET, V)
     bt = np.stack(btabs).astype(np.int64)
-    btab_dev = jnp.asarray(bt.reshape(2 * V, 128).astype(np.int32))
+    btab_dev = jnp.asarray(bt[:, :128].astype(np.int32))
     fn = build_filter_fn(T, 1, V, 0, shorts, seeds, endmasks, True)
     out = fn(btab_dev, streams_dev)
     bits = np.asarray(out[1])  # [T//64, R, 128]
