@@ -552,6 +552,11 @@ class MatchEngine:
                 try:
                     st = text.device if isinstance(text, StagedHaystack) else None
                     if st is not None:
+                        if hasattr(eng, "contains_staged_early"):
+                            # Segment grid with async dispatch: first-MB
+                            # hits answer in ~1/K of the full-scan wall;
+                            # auto-sizes to 1 segment for small corpora.
+                            return eng.contains_staged_early(st)
                         return eng.contains_staged(st)
                     sc = self._stream_scanner(len(data))
                     if sc is not None:

@@ -335,9 +335,20 @@ int64_t am_scan_hits_mt(const int32_t* delta, const int32_t* match_count,
       // Per-substream vectors keep positions ascending under interleaving;
       // concatenating them in k order restores the thread's order.
       std::vector<std::pair<int64_t, int32_t>> sub[kInterleave];
+      // The push stays out-of-line so the per-byte emit lambda is small
+      // enough to inline into the interleaved scan loop (the inlined
+      // emplace body used to push the whole scan to ~2x the count-scan
+      // wall on the same data).
+      struct Push {
+        std::vector<std::pair<int64_t, int32_t>>* sub;
+        __attribute__((noinline)) void hit(int k, int64_t i, int32_t s) {
+          sub[k].emplace_back(i + 1, s);
+        }
+      } push{sub};
       scan_interleaved(delta, data, emit_begin, emit_end, overlap,
                        [&](int k, int64_t i, int32_t s) {
-                         if (match_count[s] > 0) sub[k].emplace_back(i + 1, s);
+                         if (__builtin_expect(match_count[s] > 0, 0))
+                           push.hit(k, i, s);
                        });
       auto& out = hits[t];
       for (auto& v : sub) out.insert(out.end(), v.begin(), v.end());

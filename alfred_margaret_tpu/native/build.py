@@ -34,6 +34,23 @@ def _so_path() -> str:
     return os.path.join(cache_dir, f"am_native_{digest}.so")
 
 
+def _tune_malloc() -> None:
+    """Keep large buffers in the malloc arena instead of per-allocation
+    mmaps (M_MMAP_THRESHOLD): a fresh 64 MB splice/output buffer otherwise
+    page-faults at ~0.2-2 GB/s on this class of VM — measured as the
+    single largest Replacer.run cost at config-4 sizes — while arena reuse
+    runs the same fill at ~4-5 GB/s.  Process-wide, best-effort, opt-out
+    via AMT_MALLOC_TUNE=0."""
+    if os.environ.get("AMT_MALLOC_TUNE") == "0":
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        M_MMAP_THRESHOLD = -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+    except Exception:
+        pass
+
+
 def load() -> ctypes.CDLL:
     """Build (if needed) and load the native library; raises
     NativeUnavailable when no toolchain is present."""
@@ -41,6 +58,7 @@ def load() -> ctypes.CDLL:
     with _LOCK:
         if _LIB is not None:
             return _LIB
+        _tune_malloc()
         so = _so_path()
         if not os.path.exists(so):
             cmd = [

@@ -860,6 +860,14 @@ class BitapAcEngine(PallasAcEngine):
                 return True
         return False
 
+    def contains_staged_early(self, st: StagedStreams, n_segments=None) -> bool:
+        """Bitap machines keep the one-shot sticky register scan: it runs
+        3-4x the dense sticky rate (~170/V vs 165/g GB/s, often far more
+        under light load), so the dense segment grid's early exit only wins
+        past corpus sizes the staged layout does not reach; localized trap
+        recovery applies as usual."""
+        return self.contains_staged(st)
+
     def _bits_tables(self):
         """Bitap step family for the match-bitmap extraction kernel
         (``pallas_scan.make_matchbits_kernel``): the D register is the

@@ -524,10 +524,51 @@ def _build_with_fields(
 # ---------------------------------------------------------------------------
 
 
+#: Max boundaries for the gather-free root/segment compare chains.
+#: MEASURED (experiments/tpu_c16_chains.py, 2026-08-20, paired same-session
+#: A/B on the config-2 machine): a 26-boundary root chain made the kernel
+#: SLOWER than its 1-row gather (20.6 vs 24.9 GB/s at g=5 vs g=6) — at
+#: ~2 vector ops per boundary, ~20 ALU ops cost as much issue bandwidth as
+#: one gather, so "ALU is nearly free" only holds for short chains.  The
+#: cap keeps chains to the regime where they genuinely win; the wruns
+#: classmap chain survives because it replaces a 2-gather+select lookup.
+C16_CHAIN_MAX = 10
+
+
+def _table_chain(vals, thresholds=None):
+    """Telescoping ``(init, ((thr_i, delta_i), ...))`` for a small lookup
+    table: ``val(x) = init + sum(delta_i for thr_i <= x)``.  ``thresholds``
+    maps table index -> comparison-space threshold (identity when None).
+    Returns None past :data:`C16_CHAIN_MAX` boundaries."""
+    vals = [int(v) for v in vals]
+    pairs = []
+    for i in range(1, len(vals)):
+        if vals[i] != vals[i - 1]:
+            thr = i if thresholds is None else int(thresholds[i])
+            pairs.append((thr, vals[i] - vals[i - 1]))
+    if len(pairs) > C16_CHAIN_MAX:
+        return None
+    return (vals[0], tuple(pairs))
+
+
+def _chain_of(x, chain):
+    init, pairs = chain
+    out = jnp.full(x.shape, init, jnp.int32)
+    for thr, d in pairs:
+        out = out + jnp.where(x >= thr, jnp.int32(d), jnp.int32(0))
+    return out
+
+
 def _lookup16(comb_rows_b, aux_rows_b, root_b, seg_b, cb, cls, C):
     """One three-tier transition: comb probe, aux probe (center base via the
-    segment-table gather), direct root-row fallback.  Returns the 16-bit
+    segment table), direct root-row fallback.  Returns the 16-bit
     entry with garbage above bit 16 (every downstream field access masks).
+
+    The segment table and root row resolve through gather-free telescoping
+    compare chains when their boundary counts fit (``seg_pairs`` /
+    ``root_pairs`` — both are off the dependent critical path, and the loop
+    is gather-throughput bound), dropping the kernel from
+    ``rows_c + rows_a + 2`` gathers per byte to ``rows_c + rows_a``.
 
     On hardware the lane gather indexes mod 128, so the ``& 127`` clamps are
     skipped outside interpreter mode (measured: garbage high index bits are
@@ -546,7 +587,10 @@ def _lookup16(comb_rows_b, aux_rows_b, root_b, seg_b, cb, cls, C):
     # fine — every downstream field access masks.
     e1 = v1 >> ((w1 & 1) << 4)
     hit1 = ((e1 >> BB) & OM) == (cb & OM)
-    cbv = jnp.take_along_axis(seg_b, cb >> C["seg_shift"], axis=1)
+    if C.get("seg_pairs") is not None:
+        cbv = _chain_of(cb, C["seg_pairs"])
+    else:
+        cbv = jnp.take_along_axis(seg_b, cb >> C["seg_shift"], axis=1)
     w2 = cbv + cls
     p2 = clamp(w2 >> 1)
     h2 = w2 >> 8
@@ -556,7 +600,10 @@ def _lookup16(comb_rows_b, aux_rows_b, root_b, seg_b, cb, cls, C):
         v2 = cand if v2 is None else jnp.where(h2 == r, cand, v2)
     e2 = v2 >> ((w2 & 1) << 4)
     hit2 = ((e2 >> BB) & OM) == (cbv & OM)
-    er = jnp.take_along_axis(root_b, cls, axis=1)  # direct 32-bit entries
+    if C.get("root_pairs") is not None:
+        er = _chain_of(cls, C["root_pairs"])
+    else:
+        er = jnp.take_along_axis(root_b, cls, axis=1)  # direct 32-bit entries
     return jnp.where(hit1, e1, jnp.where(hit2, e2, er))
 
 
@@ -998,16 +1045,30 @@ class Comb16PallasAcEngine(PallasAcEngine):
         return self._c16_full, self._tab_full
 
     def _consts(self, cm: Comb16Machine) -> dict:
+        import os
+
+        seg_shift = cm.BB - 7
+        root_pairs = seg_pairs = None
+        if os.environ.get("AMT_C16_CHAINS") != "0":
+            # Gather-free root/segment resolution (see _lookup16): the root
+            # row over class ids, the segment table over base space (each
+            # segment's threshold is its first base position).
+            root_pairs = _table_chain(cm.root_row[: cm.k])
+            seg_pairs = _table_chain(
+                cm.segtable, thresholds=[g << seg_shift for g in range(128)]
+            )
         return dict(
             BB=cm.BB,
             CB=cm.CB,
             owner_mask=cm.owner_mask,
             count_shift=cm.count_shift,
             count_ranges=cm.count_ranges,
-            seg_shift=cm.BB - 7,
+            seg_shift=seg_shift,
             rows_c=cm.rows_c,
             rows_a=cm.rows_a,
             root_cb=int(cm.base[0]),
+            root_pairs=root_pairs,
+            seg_pairs=seg_pairs,
             interpret=self.interpret,
         )
 

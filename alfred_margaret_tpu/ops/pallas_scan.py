@@ -939,6 +939,101 @@ class PallasAcEngine:
             return False
         return self.contains_staged(self.stage(data), reps)
 
+    #: Segment size for the early-exit containsAny grid: segments below
+    #: ~32 MiB scan faster than one relay round trip, so slicing finer
+    #: only adds fetch latency.
+    CONTAINS_SEG_BYTES = 32 << 20
+
+    def _get_contains_seg_fn(self, T: int, R_seg: int):
+        c = self._sticky_setup()
+        key = ("seg", T, R_seg)
+        if key not in c["fns"]:
+            comp = c["comp"]
+            n_tiles = T // self.t_tile
+            unroll = _fit_unroll(
+                8 if comp.rows <= 8 else (4 if comp.rows <= 16 else 2), self.t_tile
+            )
+            kernel = _make_contains_kernel(
+                self.t_tile, R_seg, comp.rows, n_tiles, unroll, 1,
+                comp.packing, fold=c["fold"], in_range=c["in_range"],
+                wpairs=c["wpairs"],
+            )
+            R, t_tile = self.R, self.t_tile
+
+            @jax.jit
+            def run(bscal, classmap, table, vend, streams_u8, r0):
+                # One compilation serves every segment: the stream-row
+                # window is a dynamic slice at traced row offset r0.
+                streams = jax.lax.dynamic_slice(
+                    streams_u8.reshape(T, R, 128), (0, r0, 0), (T, R_seg, 128)
+                )
+                vend_seg = jax.lax.dynamic_slice(vend, (r0, 0), (R_seg, 128))
+                return pl.pallas_call(
+                    kernel,
+                    grid=(n_tiles,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (comp.rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+                        ),
+                        pl.BlockSpec((R_seg, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec(
+                            (t_tile, R_seg, 128),
+                            lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ],
+                    out_specs=pl.BlockSpec((R_seg, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((R_seg, 128), jnp.int32),
+                    scratch_shapes=[pltpu.VMEM((R_seg, 128), jnp.int32)],
+                    interpret=self.interpret,
+                )(bscal, classmap, table, vend_seg, streams)
+
+            c["fns"][key] = run
+        return c["fns"][key]
+
+    def contains_staged_early(
+        self, st: StagedStreams, n_segments: Optional[int] = None
+    ) -> bool:
+        """Early-exit ``containsAny`` over a staged corpus: the sticky scan
+        runs as K stream-row segments in CORPUS order (streams are
+        corpus-ordered chunks), ALL dispatched async up front so their
+        round trips overlap, with results fetched in order and the scan
+        answered at the first hitting segment.  A hit in the first segment
+        of an N-segment corpus costs ~1/N of the full-scan wall plus one
+        round trip; a miss costs about the full scan (the device pipelines
+        the queued segments back-to-back).  Mirrors the reference's
+        ``Done True`` early-exit fold at segment granularity
+        (``AhoCorasick/Searcher.hs:156-164``, ``Automaton.hs:398``)."""
+        if n_segments is None:
+            total = st.plan.time_len * self.S
+            n_segments = max(1, min(16, total // max(1, self.CONTAINS_SEG_BYTES)))
+        K = 1
+        for cand in (16, 8, 4, 2, 1):
+            if cand <= n_segments and self.R % cand == 0:
+                K = cand
+                break
+        if K <= 1:
+            return self.contains_staged(st)
+        c = self._sticky_setup()
+        R_seg = self.R // K
+        fn = self._get_contains_seg_fn(st.plan.time_len, R_seg)
+        bscal = self._bscal_for(st)
+        outs = [
+            fn(bscal, c["cm"], c["tab"], st.vend_t, st.streams_dev,
+               jnp.int32(k * R_seg))
+            for k in range(K)
+        ]  # async: all segments queue before the first fetch
+        live = st.live_np
+        for k, o in enumerate(outs):
+            out = np.asarray(o)
+            if live is not None:
+                out = out[live[k * R_seg : (k + 1) * R_seg]]
+            if (out == c["absorb_pk"]).any():
+                return True
+        return False
+
     def _states_call(self, st: "StagedStreams"):
         """Device array of packed per-position values (kernel-layout specific)."""
         fn = self._get_states_fn(st.plan.time_len)

@@ -180,19 +180,49 @@ class Replacer:
 
     # -- running -----------------------------------------------------------
 
-    def run(self, haystack: utf8.TextLike) -> Any:
+    def run(self, haystack) -> Any:
         result = self.run_with_limit(haystack, MAX_BOUND)
         assert result is not None
         return result
 
-    def run_with_limit(self, haystack: utf8.TextLike, max_length: int) -> Optional[Any]:
+    def run_with_limit(self, haystack, max_length: int) -> Optional[Any]:
         """Replace everything unless the intermediate result would exceed
         ``max_length`` bytes (``runWithLimit``, ``Replacer.hs:203-274``).
 
-        Returns the same type as the input (str in, str out).
+        Returns the same type as the input (str in, str out; staged in,
+        bytes out).
+
+        ``haystack`` may be a :class:`engine.StagedHaystack` from
+        ``replacer.searcher.stage(...)`` (or ``adopt_staged``): the FIRST
+        pass's full scan then reuses the staged lowering/device streams —
+        the serving pattern where one resident corpus feeds both search and
+        replacement.  Later passes operate on the spliced host text, whose
+        re-scans are window-local (incremental engine) and never touch the
+        device.
         """
+        from .engine import StagedHaystack
+
+        staged = haystack if isinstance(haystack, StagedHaystack) else None
         as_str = isinstance(haystack, str)
-        data = utf8.to_bytes(haystack)
+        data = utf8.to_bytes(staged.data) if staged is not None else utf8.to_bytes(haystack)
+        if staged is not None and staged.device is not None:
+            # Device extraction fetches ~8 B per match back through the
+            # tunnel; on slow relays (measured ~30 MB/s D2H on bad days)
+            # the host C++ hit scan over the staged HOST bytes wins at
+            # every practical size.  The staging-bandwidth probe doubles
+            # as the tunnel-health signal; host bytes always exist on a
+            # staged handle, so this only chooses the faster scan.
+            eng = self.searcher._engine
+            try:
+                fast_relay = eng._staging_is_fast()
+            except Exception:
+                fast_relay = True
+            if not fast_relay:
+                try:
+                    eng._cpp_engine()
+                    staged = None  # host path
+                except Exception:
+                    pass
         searcher = self.searcher
         machine = searcher.automaton
         case = searcher.case_sensitivity
@@ -204,14 +234,16 @@ class Replacer:
             p.needle_length_bytes > 0 and p.needle_length_code_points > 0
             for _, p in searcher.needles
         ):
-            result = self._run_incremental(data, max_length, min_priority)
+            result = self._run_incremental(data, max_length, min_priority, staged)
             if result is not _FALLBACK:
                 if result is None:
                     return None
                 return result.decode("utf-8") if as_str else result
 
+        first = staged  # staged handle serves only the FIRST pass's scan
         while True:
-            ms = searcher._engine.matches(data, case)
+            ms = searcher._engine.matches(first if first is not None else data, case)
+            first = None
             best, length_delta = self._select_pass(ms, machine, threshold, data)
             if best is None:
                 result = data
@@ -274,7 +306,8 @@ class Replacer:
 
     # -- incremental multi-pass engine -------------------------------------
 
-    def _run_incremental(self, data: bytes, max_length: int, min_priority: int):
+    def _run_incremental(self, data: bytes, max_length: int, min_priority: int,
+                         staged=None):
         """One full scan, then per-pass match-list patching.
 
         Exactness argument: a DFA match at end ``e`` depends only on the
@@ -299,7 +332,7 @@ class Replacer:
         # path must not pay a full coordinate-map scan just to fall back.
         if case is IGNORE_CASE and eng._composed(case, data) is None:
             return _FALLBACK
-        ms = eng.matches(data, case)
+        ms = eng.matches(staged if staged is not None else data, case)
         if case is IGNORE_CASE and ms.lowered is not None:
             return _FALLBACK  # defensive; _composed above should agree
         composed = case is IGNORE_CASE

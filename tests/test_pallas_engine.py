@@ -529,3 +529,33 @@ class TestFusedGroupedCount:
         assert eng.contains_staged(st_one) is True
         # parity with the per-group path
         assert any(e.contains_staged(st_one) for e in eng.engines) is True
+
+
+def test_contains_staged_early_segments():
+    """Segmented early-exit containsAny (round 5): identical verdicts to
+    the one-shot sticky scan at every forced segment count, on hit-first,
+    hit-last, and no-hit corpora."""
+    import numpy as np
+
+    from alfred_margaret_tpu.models import ac
+    from alfred_margaret_tpu.ops.pallas_scan import PallasAcEngine
+
+    m = ac.build([(n, i) for i, n in enumerate(["needleword"])])
+    eng = PallasAcEngine(m, n_streams=512, t_tile=32, interpret=True)
+    base = b"x" * (64 << 10)
+    cases = {
+        "first": b"needleword" + base,
+        "last": base + b"needleword",
+        "none": base,
+        "mid": base[: 30 << 10] + b"needleword" + base[30 << 10 :],
+    }
+    for name, corpus in cases.items():
+        st = eng.stage(np.frombuffer(corpus, dtype=np.uint8))
+        want = eng.contains_staged(st)
+        assert want == (b"needleword" in corpus)
+        for k in (1, 2, 4):
+            got = eng.contains_staged_early(st, n_segments=k)
+            assert got == want, (name, k)
+    # auto sizing: small corpora collapse to one segment (same code path)
+    st = eng.stage(np.frombuffer(cases["mid"], dtype=np.uint8))
+    assert eng.contains_staged_early(st) is True

@@ -191,3 +191,23 @@ class TestNpzRoundTrip:
         got = [(m.pos, m.value) for m in s2.all_matches(b"zabcdz")]
         want = [(m.pos, m.value) for m in s.all_matches(b"zabcdz")]
         assert got == want
+
+
+def test_run_on_staged_haystack():
+    """Replacer.run accepts a StagedHaystack from searcher.stage: the first
+    pass's scan reuses the staging; output is bit-exact bytes (round 5,
+    the serving pattern — one resident corpus feeds search AND replace)."""
+    from alfred_margaret_tpu.replacer import Replacer
+    from alfred_margaret_tpu.utils.case import CASE_SENSITIVE, IGNORE_CASE
+
+    pairs = [("tshirt", "TEE"), ("shirts", "SHIRT"), ("ee", "f")]
+    r = Replacer.build(CASE_SENSITIVE, pairs)
+    text = b"short tshirts and tshirt shirts " * 500
+    base = r.run(text)
+    staged = r.searcher.stage(text)
+    assert r.run(staged) == base
+    assert r.run_with_limit(staged, 10) is None
+
+    rci = Replacer.build(IGNORE_CASE, [("istanbul", "CITY"), ("fix", "ok")])
+    t2 = "İstanbul FİX fix istanbul ".encode() * 300
+    assert rci.run(rci.searcher.stage(t2)) == rci.run(t2)

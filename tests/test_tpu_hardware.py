@@ -99,6 +99,137 @@ def test_match_extraction_hw(setup100):
     )
 
 
+def test_bitap_kernel_hw():
+    """Round-4 flagship on real hardware: bitap count/contains/presence at
+    V=1 and V=2, counts vs the scalar oracle, plus a paired >= 1.2x-dense
+    sustained-rate floor (the round-4 law: bitap wins every eligible V
+    against the dense kernel in paired same-session runs)."""
+    _require_tpu()
+    import time
+
+    import jax
+
+    from alfred_margaret_tpu.models import ac
+    from alfred_margaret_tpu.bench.dataformat import synth_corpus
+    from alfred_margaret_tpu.ops.bitap_scan import BitapAcEngine, plan_bitap
+    from alfred_margaret_tpu.ops.pallas_scan import PallasAcEngine
+
+    # V=1 (3 needles) and V=2 (8 needles) layouts.
+    sets = {
+        1: ["tshirt", "shirts", "shorts"],
+        2: ["tshirt", "shirts", "shorts", "boot", "scarf", "glove", "jeans", "vest"],
+    }
+    for v_want, needles in sets.items():
+        m = ac.build([(n, i) for i, n in enumerate(needles)])
+        lay = plan_bitap(m)
+        assert lay is not None and lay.n_words == v_want
+        corpus = synth_corpus(needles, 2 << 20, hit_fraction=0.01, seed=v_want)
+        data = np.frombuffer(corpus, dtype=np.uint8)
+        want = ac.count_matches(m, corpus)
+        eng = BitapAcEngine(m, layout=lay)
+        st = eng.stage(data)
+        assert eng.count_staged(st) == want
+        assert eng.contains_staged(st) is True
+        pres = eng.needle_presence_staged(st)
+        assert pres is not None
+        oracle_pres = [n.encode() in corpus for n in needles]
+        assert pres.tolist() == oracle_pres
+
+    # Paired floor: sustained bitap rate >= 1.2x dense on the SAME corpus
+    # in the SAME session (rep-slope cancels the relay round-trip).
+    needles = sets[1]
+    m = ac.build([(n, i) for i, n in enumerate(needles)])
+    corpus = synth_corpus(needles, 8 << 20, hit_fraction=0.01, seed=3)
+    data = np.frombuffer(corpus, dtype=np.uint8)
+
+    def slope(eng):
+        st = eng.stage(data)
+        times = {}
+        for reps in (1, 33):
+            eng.count_staged(st, reps)  # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                eng.count_staged(st, reps)
+                best = min(best, time.perf_counter() - t0)
+            times[reps] = best
+        if times[33] <= times[1]:
+            return float("inf")  # jitter swallowed the delta: don't flake
+        return 32 * len(data) / (times[33] - times[1])
+
+    r_bitap = slope(BitapAcEngine(m))
+    r_dense = slope(PallasAcEngine(m))
+    assert r_bitap >= 1.2 * min(r_dense, 1e18), (r_bitap, r_dense)
+
+
+def test_ci_bitap_kernel_hw():
+    """CI bitap on real hardware: trapless byte-class tracks, embedded-trap
+    layouts on clean corpora (no fallback), and a trap-firing corpus
+    (localized recovery engaged, counts exact)."""
+    _require_tpu()
+    from alfred_margaret_tpu.models import ac, case_dfa
+    from alfred_margaret_tpu.ops.bitap_scan import BitapAcEngine, plan_bitap_ci
+    from alfred_margaret_tpu.utils import utf8
+    from alfred_margaret_tpu.utils.case import IGNORE_CASE
+
+    def composed(needles):
+        low = [utf8.lower_str(n) for n in needles]
+        m = ac.build([(n, i) for i, n in enumerate(low)])
+        return m, case_dfa.compose_build(list(zip(m.needles, m.values)), machine=m)
+
+    # Trapless: no i/k/å/ß letters anywhere in the needle closure.
+    m, cm = composed(["dress", "glove"])
+    lay = plan_bitap_ci(cm)
+    assert lay is not None and not lay.has_trap
+    hay = ("DRESS glove dReSs filler xx " * 20000).encode()
+    eng = BitapAcEngine(cm, layout=lay)
+    st = eng.stage(np.frombuffer(hay, dtype=np.uint8))
+    assert eng.count_staged(st) == ac.count_matches(m, hay, IGNORE_CASE)
+    assert eng.contains_staged(st) is True
+
+    # Trap-bearing layout, clean corpus: fast path, no fallback compile.
+    m2, cm2 = composed(["kilo", "dress"])
+    lay2 = plan_bitap_ci(cm2)
+    assert lay2 is not None and lay2.has_trap
+    clean = ("KILO dress kIlO filler " * 20000).encode()
+    eng2 = BitapAcEngine(cm2, layout=lay2)
+    st2 = eng2.stage(np.frombuffer(clean, dtype=np.uint8))
+    assert eng2.count_staged(st2) == ac.count_matches(m2, clean, IGNORE_CASE)
+    assert (st2.plan.time_len, 1) not in eng2._count_fn  # no dense fallback
+
+    # ONE Kelvin site: the trap plane fires, localized host recovery keeps
+    # the count exact without building the dense program.
+    trap = bytearray(clean)
+    mid = len(trap) // 2
+    patch = "KILO".encode()  # Kelvin sign K
+    trap[mid : mid + len(patch)] = patch
+    trap = bytes(trap)
+    st3 = eng2.stage(np.frombuffer(trap, dtype=np.uint8))
+    assert eng2.count_staged(st3) == ac.count_matches(m2, trap, IGNORE_CASE)
+    assert (st3.plan.time_len, 1) not in eng2._count_fn
+    assert eng2.contains_staged(st3) is True
+
+
+def test_comb16_chain_mode_hw(setup100):
+    """The gather-free root/segment chains (round 5) must stay exact on
+    real Mosaic, against both the oracle and the chains-off tables."""
+    from alfred_margaret_tpu.ops.comb16_scan import Comb16PallasAcEngine
+
+    m, needles, corpus, want = setup100
+    data = np.frombuffer(corpus, dtype=np.uint8)
+    eng = Comb16PallasAcEngine(m)
+    assert eng._consts(eng.c16)["root_pairs"] is not None
+    st = eng.stage(data)
+    got = eng.count_staged(st)
+    os.environ["AMT_C16_CHAINS"] = "0"
+    try:
+        eng_off = Comb16PallasAcEngine(m)
+        assert eng_off._consts(eng_off.c16)["root_pairs"] is None
+        assert eng_off.count_staged(eng_off.stage(data)) == got
+    finally:
+        os.environ.pop("AMT_C16_CHAINS", None)
+
+
 def test_fused_grouped_hw():
     """Fused single-launch grouped count + containsAny on a natural
     400-needle set: the partition must produce >= 2 uniform groups, the
