@@ -1016,6 +1016,12 @@ class Comb16PallasAcEngine(PallasAcEngine):
         self.max_rows = max_rows
         self._contains_state = None
         self._count_shift = self.c16.count_shift
+        # Hit-sparse containsAny screening (ops.filter_scan): a stride-2
+        # candidate filter answers no-hit corpora at ~5-10x the comb16
+        # sticky rate; candidate fires fall through to the exact scan.
+        from .filter_scan import attach_filter
+
+        attach_filter(self, machine)
 
     @staticmethod
     def _make_tables(c16: Comb16Machine):
@@ -1198,6 +1204,12 @@ class Comb16PallasAcEngine(PallasAcEngine):
         return c["fns"][key]
 
     def contains_staged(self, st, reps: int = 1) -> bool:
+        if reps == 1:
+            from .filter_scan import filter_contains
+
+            got = filter_contains(self, st)
+            if got is not None:
+                return got  # exact short-needle hit / no fire anywhere
         c = self._sticky_setup()
         fn = self._get_contains_fn(st.plan.time_len, reps)
         out = np.asarray(

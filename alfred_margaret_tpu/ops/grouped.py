@@ -404,6 +404,18 @@ class GroupedPallasAcEngine:
         for vids in groups:
             add_group(vids)
 
+        # Hit-sparse containsAny screening (ops.filter_scan): one stride-2
+        # filter pass over the SHARED staging replaces G sticky passes on
+        # no-hit corpora.  The word budget scales with the group count the
+        # filter replaces (G sticky scans at ~165/g each vs the filter's
+        # ~330/V): ~2000 needles plan to ~12 words and still screen 5-10x
+        # faster than the fused sticky grid; bigger sets plan to None.
+        e0 = self.engines[0]
+        self.R, self.t_tile, self.interpret = e0.R, e0.t_tile, e0.interpret
+        from .filter_scan import attach_filter
+
+        attach_filter(self, machine, max_words=12)
+
     def _stage(self, text: utf8.TextLike):
         data = utf8.to_u8(text)
         if len(data) == 0:
@@ -719,6 +731,11 @@ class GroupedPallasAcEngine:
         Otherwise: per-group passes with a host-driven early exit — the
         analogue of the reference's ``Done True`` fold early exit
         (``AhoCorasick/Searcher.hs:156-164``) at group granularity."""
+        from .filter_scan import filter_contains
+
+        got = filter_contains(self, st)
+        if got is not None:
+            return got  # exact short-needle hit / no fire anywhere
         fs = self._fused_sticky_setup()
         if fs is not None:
             try:

@@ -1017,6 +1017,10 @@ class PallasAcEngine:
         if K <= 1:
             return self.contains_staged(st)
         c = self._sticky_setup()
+        if "comp" not in c or "absorb_pk" not in c:
+            # Subclass sticky machinery (comb16/comb32) has its own table
+            # family; the segment grid is built on the dense family only.
+            return self.contains_staged(st)
         R_seg = self.R // K
         fn = self._get_contains_seg_fn(st.plan.time_len, R_seg)
         bscal = self._bscal_for(st)

@@ -142,10 +142,13 @@ def test_bitap_kernel_hw():
     corpus = synth_corpus(needles, 8 << 20, hit_fraction=0.01, seed=3)
     data = np.frombuffer(corpus, dtype=np.uint8)
 
+    R_HI = 2001  # ~16 GB of resident re-scans: >= ~30 ms of kernel even
+    # at the bitap's light-load 600 GB/s, so the slope clears relay jitter
+
     def slope(eng):
         st = eng.stage(data)
         times = {}
-        for reps in (1, 33):
+        for reps in (1, R_HI):
             eng.count_staged(st, reps)  # warm
             best = float("inf")
             for _ in range(3):
@@ -153,13 +156,15 @@ def test_bitap_kernel_hw():
                 eng.count_staged(st, reps)
                 best = min(best, time.perf_counter() - t0)
             times[reps] = best
-        if times[33] <= times[1]:
-            return float("inf")  # jitter swallowed the delta: don't flake
-        return 32 * len(data) / (times[33] - times[1])
+        if times[R_HI] <= times[1]:
+            return float("inf")  # jitter swallowed the delta
+        return (R_HI - 1) * len(data) / (times[R_HI] - times[1])
 
     r_bitap = slope(BitapAcEngine(m))
     r_dense = slope(PallasAcEngine(m))
-    assert r_bitap >= 1.2 * min(r_dense, 1e18), (r_bitap, r_dense)
+    if not (np.isfinite(r_bitap) and np.isfinite(r_dense)):
+        return  # unmeasurable session; the correctness half above passed
+    assert r_bitap >= 1.2 * r_dense, (r_bitap, r_dense)
 
 
 def test_ci_bitap_kernel_hw():
@@ -212,15 +217,29 @@ def test_ci_bitap_kernel_hw():
 
 def test_comb16_chain_mode_hw(setup100):
     """The gather-free root/segment chains (round 5) must stay exact on
-    real Mosaic, against both the oracle and the chains-off tables."""
+    real Mosaic where they engage, and must NOT engage past the measured
+    10-boundary crossover (experiments/tpu_c16_chains.py: a 26-boundary
+    chain was SLOWER than its gather)."""
+    from alfred_margaret_tpu.models import ac
     from alfred_margaret_tpu.ops.comb16_scan import Comb16PallasAcEngine
 
-    m, needles, corpus, want = setup100
-    data = np.frombuffer(corpus, dtype=np.uint8)
+    m100, needles, corpus, want = setup100
+    big = Comb16PallasAcEngine(m100)
+    # config-2's 27-class root row has 26 boundaries: chains stay off.
+    assert big._consts(big.c16)["root_pairs"] is None
+
+    # Tiny alphabet -> few classes -> the root chain fits the cap.
+    small_needles = ["abcab", "bcada", "cadbd", "dabca", "abdcb", "bacda"]
+    m = ac.build([(n, i) for i, n in enumerate(small_needles)])
     eng = Comb16PallasAcEngine(m)
-    assert eng._consts(eng.c16)["root_pairs"] is not None
+    C = eng._consts(eng.c16)
+    assert C["root_pairs"] is not None and len(C["root_pairs"][1]) <= 10
+    hay = (("abcab cadbd filler " * 4000) + "dabca").encode()
+    data = np.frombuffer(hay, dtype=np.uint8)
+    want2 = ac.count_matches(m, hay)
     st = eng.stage(data)
     got = eng.count_staged(st)
+    assert got == want2
     os.environ["AMT_C16_CHAINS"] = "0"
     try:
         eng_off = Comb16PallasAcEngine(m)
@@ -228,6 +247,24 @@ def test_comb16_chain_mode_hw(setup100):
         assert eng_off.count_staged(eng_off.stage(data)) == got
     finally:
         os.environ.pop("AMT_C16_CHAINS", None)
+
+
+def test_filter_contains_hw(setup100):
+    """Hit-sparse containsAny screening on real Mosaic: no-hit corpora
+    answer False straight from the filter (no fallback), hit corpora stay
+    exact through the fallback."""
+    from alfred_margaret_tpu.ops.comb16_scan import Comb16PallasAcEngine
+    from alfred_margaret_tpu.ops.filter_scan import filter_contains
+
+    m, needles, corpus, want = setup100
+    eng = Comb16PallasAcEngine(m)
+    assert eng._filter_lay is not None
+    miss = (("." * 63 + " ") * ((2 << 20) // 64)).encode()
+    st = eng.stage(np.frombuffer(miss, dtype=np.uint8))
+    assert filter_contains(eng, st) is False
+    assert eng.contains_staged(st) is False
+    st2 = eng.stage(np.frombuffer(corpus[: 2 << 20], dtype=np.uint8))
+    assert eng.contains_staged(st2) is True
 
 
 def test_fused_grouped_hw():
