@@ -142,6 +142,34 @@ def main(argv=None) -> int:
         parity=parity,
     )
 
+    # --- config 2b: hit-sparse containsAny screening (round 5) ----------
+    # The stride-2 filter answers fire-free corpora (alphabet-disjoint
+    # screening: here a digits-and-punctuation corpus against the a-z
+    # needle set) without running the exact sticky scan; candidate fires
+    # fall through, so verdicts are exact by construction.  Clearly
+    # labeled: this regime is where the screen pays; same-alphabet text
+    # self-disables it (docs/SERVING.md).
+    try:
+        miss = (b"0123456789 ,;:!" * (big // 15))[:big]
+        assert s100.contains_any(miss) is False
+        sh_miss = s100.stage(miss)
+        assert s100.contains_any(sh_miss) is False
+        t_screen = _best(lambda: s100.contains_any(sh_miss), rounds=3)
+        hit_corp = miss[: big // 2] + needles100[7].encode() + miss[big // 2 :]
+        sh_hit = s100.stage(hit_corp)
+        assert s100.contains_any(sh_hit) is True
+        t_screen_hit = _best(lambda: s100.contains_any(sh_hit), rounds=3)
+        _emit(
+            config="2b",
+            op="containsAny screen (fire-free corpus, staged)",
+            bytes=len(miss),
+            miss_mb_per_sec=round(len(miss) / t_screen / 1e6, 1),
+            hit_mb_per_sec=round(len(hit_corp) / t_screen_hit / 1e6, 1),
+            parity="verdicts exact (hit via fallback)",
+        )
+    except Exception as e:  # pragma: no cover - screening is optional
+        _emit(config="2b", op="containsAny screen", error=str(e)[:200])
+
     # --- config 3: IgnoreCase over mixed-case UTF-8 ---------------------
     words = ["İstanbul", "STRASSE", "straße", "Zürich", "K", "Å", "ǳoo", "TShirt"]
     unit = " ".join(words) + " filler "
