@@ -81,6 +81,23 @@ def main():
     assert frags == ["a", "b", "c"]
     step(f"splitter: {frags}", t0)
 
+    # 5b. Round-5 serving patterns: staged replacement (one resident
+    # corpus feeds search AND replace) and screened containsAny (a
+    # fire-free corpus answers from the stride-2 filter alone; candidate
+    # fires fall back to the exact scan — verdicts exact either way).
+    rep_pairs = [("tshirt", "TEE"), ("shirts", "S")]
+    r5 = Replacer.build(CASE_SENSITIVE, rep_pairs)
+    corpus_b = "tshirts and shirts " * 2000
+    staged_r = r5.searcher.stage(corpus_b)
+    assert r5.run(staged_r) == r5.run(corpus_b).encode()  # staged in, bytes out
+    step("staged replacer: bit-exact against the bytes path", t0)
+    screen_corpus = "0123456789 ,;:! " * 20000  # alphabet-disjoint
+    many = ["needle%02da" % i for i in range(40)]  # mid-tier: comb16 + filter
+    s_mid = Searcher.build(CASE_SENSITIVE, many)
+    assert s_mid.contains_any(s_mid.stage(screen_corpus)) is False
+    assert s_mid.contains_any(screen_corpus[:500] + many[3] + screen_corpus[500:])
+    step("screened containsAny: fire-free corpus answered by the filter alone", t0)
+
     # 6. Device mesh (virtual on CPU; real chips on a TPU slice).
     import jax
 
