@@ -415,6 +415,10 @@ class GroupedPallasAcEngine:
         from .filter_scan import attach_filter
 
         attach_filter(self, machine, max_words=12)
+        # The top-level screen covers every needle; per-group screens in
+        # the non-fused fallback would just re-fire on the same corpus.
+        for e in self.engines:
+            e._filter_lay = None
 
     def _stage(self, text: utf8.TextLike):
         data = utf8.to_u8(text)
