@@ -17,7 +17,7 @@ from .searcher import Searcher
 from .replacer import Payload, Replacer
 from .splitter import Splitter
 
-__version__ = "0.2.1"
+__version__ = "0.5.0"
 
 __all__ = [
     "CaseSensitivity",

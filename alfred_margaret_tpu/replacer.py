@@ -203,6 +203,16 @@ class Replacer:
         from .engine import StagedHaystack
 
         staged = haystack if isinstance(haystack, StagedHaystack) else None
+        if staged is not None and staged.lowered is not None:
+            # Non-composed IgnoreCase staging keeps only the LOWERED bytes;
+            # splicing needs the raw haystack, which the handle no longer
+            # has.  (Composed-CI stagings keep raw bytes and work fine.)
+            raise ValueError(
+                "this staged haystack retains only the lowered bytes "
+                "(non-composed IgnoreCase staging); Replacer.run needs the "
+                "raw text — pass the original haystack, or raise "
+                "AMT_COMPOSED_CI so staging uses the composed case DFA"
+            )
         as_str = isinstance(haystack, str)
         data = utf8.to_bytes(staged.data) if staged is not None else utf8.to_bytes(haystack)
         if staged is not None and staged.device is not None:

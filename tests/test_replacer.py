@@ -211,3 +211,30 @@ def test_run_on_staged_haystack():
     rci = Replacer.build(IGNORE_CASE, [("istanbul", "CITY"), ("fix", "ok")])
     t2 = "İstanbul FİX fix istanbul ".encode() * 300
     assert rci.run(rci.searcher.stage(t2)) == rci.run(t2)
+
+
+def test_run_on_lowered_staged_haystack_rejected(monkeypatch):
+    """A non-composed IgnoreCase staging keeps only the lowered bytes —
+    Replacer.run must refuse it loudly instead of splicing lowered text."""
+    import pytest
+
+    from alfred_margaret_tpu.replacer import Replacer
+    from alfred_margaret_tpu.utils.case import IGNORE_CASE
+
+    from alfred_margaret_tpu.utils import config
+
+    import dataclasses
+
+    # Force the lowered-stream path (config.DEFAULT snapshots the env at
+    # import and is frozen, so swap the module-level instance).
+    monkeypatch.setattr(
+        config, "DEFAULT",
+        dataclasses.replace(config.DEFAULT, composed_ci_max_states=0),
+    )
+    r = Replacer.build(IGNORE_CASE, [("istanbul", "CITY")])
+    staged = r.searcher.stage("İstanbul visit")
+    assert staged.lowered is not None and not staged.composed
+    with pytest.raises(ValueError, match="lowered bytes"):
+        r.run(staged)
+    # the raw haystack still works
+    assert r.run("İstanbul visit") == "CITY visit"
