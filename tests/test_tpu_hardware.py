@@ -249,6 +249,29 @@ def test_comb16_chain_mode_hw(setup100):
         os.environ.pop("AMT_C16_CHAINS", None)
 
 
+def test_contains_early_segments_hw():
+    """Segmented early-exit containsAny on real Mosaic: the dynamic
+    stream-row slice + sticky kernel must agree with the one-shot scan on
+    hit-first / hit-last / no-hit corpora at forced segment counts."""
+    _require_tpu()
+    from alfred_margaret_tpu.models import ac
+    from alfred_margaret_tpu.ops.pallas_scan import PallasAcEngine
+
+    m = ac.build([(n, i) for i, n in enumerate(["needleword"])])
+    eng = PallasAcEngine(m)
+    base = b"x" * (2 << 20)
+    for name, corpus in {
+        "first": b"needleword" + base,
+        "last": base + b"needleword",
+        "none": base,
+    }.items():
+        st = eng.stage(np.frombuffer(corpus, dtype=np.uint8))
+        want = eng.contains_staged(st)
+        assert want == (b"needleword" in corpus), name
+        for k in (2, 4):
+            assert eng.contains_staged_early(st, n_segments=k) == want, (name, k)
+
+
 def test_filter_contains_hw(setup100):
     """Hit-sparse containsAny screening on real Mosaic: no-hit corpora
     answer False straight from the filter (no fallback), hit corpora stay
