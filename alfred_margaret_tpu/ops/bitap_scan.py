@@ -824,21 +824,6 @@ class BitapAcEngine(PallasAcEngine):
             self._bitap_contains[key] = run
         return self._bitap_contains[key]
 
-    def _contains_raw(self, st: StagedStreams, reps: int = 1):
-        """(hits_any, trap_any) over live streams."""
-        fn = self._get_bitap_contains_fn(st.plan.time_len, reps)
-        out = fn(self._btab_dev, st.streams_dev)
-        if self.bitap.has_trap:
-            hits, trap = (np.asarray(o) for o in out)
-        else:
-            hits, trap = np.asarray(out), None
-        if st.live_np is not None:
-            hits = hits[st.live_np]
-            trap = trap[st.live_np] if trap is not None else None
-        return bool((hits != 0).any()), bool(
-            trap is not None and (trap != 0).any()
-        )
-
     def contains_staged(self, st: StagedStreams, reps: int = 1) -> bool:
         fn = self._get_bitap_contains_fn(st.plan.time_len, reps)
         out = fn(self._btab_dev, st.streams_dev)

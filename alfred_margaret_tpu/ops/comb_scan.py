@@ -935,14 +935,20 @@ def bitap_word_budget(gcost) -> int:
     return 8 if gcost is None else max(2, min(8, 9 * int(gcost) // 10))
 
 
-def plan_bitap_auto(machine: AcMachine, max_rows: int = MAX_ROWS):
+_GCOST_UNSET = object()
+
+
+def plan_bitap_auto(machine: AcMachine, max_rows: int = MAX_ROWS, gcost=_GCOST_UNSET):
     """Bitap layout under the measured gcost crossover budget, or None.
 
     Shared by the single-chip dispatcher (make_pallas_engine) and the
     mesh inner chooser (parallel.shard) so both apply the same word-budget
     law.  AMT_BITAP=0 disables.  A CI trap word costs one more register
     (measured ~parity vs composed dense at V'=2; keeps the light-load
-    upside, bandwidth-bound vs issue-bound).
+    upside, bandwidth-bound vs issue-bound).  Callers that already ran
+    :func:`plan_pallas` pass its gather cost via ``gcost`` (None = nothing
+    fits) so the structure-cost estimation is not paid twice — the
+    adaptive grouped partitioner builds an engine per trial group.
     """
     import os
 
@@ -950,10 +956,11 @@ def plan_bitap_auto(machine: AcMachine, max_rows: int = MAX_ROWS):
         return None
     from .bitap_scan import plan_bitap, plan_bitap_ci
 
-    try:
-        _, gcost = plan_pallas(machine, max_rows)
-    except CapacityError:
-        gcost = None
+    if gcost is _GCOST_UNSET:
+        try:
+            _, gcost = plan_pallas(machine, max_rows)
+        except CapacityError:
+            gcost = None
     budget = bitap_word_budget(gcost)
     lay = plan_bitap(machine, max_words=budget)
     if lay is None and getattr(machine, "composed_ci", False):
@@ -981,7 +988,7 @@ def make_pallas_engine(machine: AcMachine, max_rows: int = MAX_ROWS, **kw):
         kind, gcost = plan_pallas(machine, max_rows)
     except CapacityError:
         kind = gcost = None  # nothing single-pass fits; bitap may still
-    lay = plan_bitap_auto(machine, max_rows)
+    lay = plan_bitap_auto(machine, max_rows, gcost=gcost)
     if lay is not None:
         from .bitap_scan import BitapAcEngine
 

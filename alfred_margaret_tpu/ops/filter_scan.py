@@ -8,9 +8,9 @@ bytes, tables indexed by the 7-bit nibble hash ``((b1 & 15) << 3) |
 (0.5 gathers/byte; measured ~150-330 GB/s at V <= 4,
 experiments/tpu_filter_probe.py):
 
-* needles <= 4 bytes run EXACTLY via rolling-window ALU compares (no
+* needles <= 3 bytes run EXACTLY via rolling-window ALU compares (no
   gathers; their sticky plane answers True outright);
-* needles >= 5 bytes become union buckets of right-aligned alignment
+* needles >= 4 bytes become union buckets of right-aligned alignment
   chains with shared end bits; end-bit fires are *candidates* (nibble
   collisions + union mixing give false positives), so a candidate-only
   verdict falls back to the exact sticky scan.
@@ -112,9 +112,10 @@ def plan_filter(machine, max_words: int = 3) -> Optional[FilterLayout]:
 
     Eligible: CaseSensitive byte semantics (composed-CI machines would
     need byte-class chains — not built), no empty needle, no NUL byte,
-    at most :data:`MAX_SHORTS` needles under 5 bytes, and the long-needle
-    buckets fitting ``max_words`` words.  Machines whose exact bitap plan
-    exists never get here (the dispatcher prefers exact kernels)."""
+    at most :data:`MAX_SHORTS` needles under 4 bytes, and the chain
+    buckets (needles >= 4 bytes) fitting ``max_words`` words.  Machines
+    whose exact bitap plan exists never get here (the dispatcher prefers
+    exact kernels)."""
     if getattr(machine, "composed_ci", False):
         return None
     needles = [bytes(nd) for nd in getattr(machine, "needles", [])]
@@ -303,7 +304,12 @@ def attach_filter(engine, machine, max_words: int = 3) -> bool:
     bt = np.stack([w.btab for w in lay.words]) if lay.words else np.zeros(
         (1, 128), dtype=np.int64
     )
-    assert (bt >> 31 == 0).all()
+    if (bt >> 31 != 0).any():  # pragma: no cover - planner invariant
+        # A track bit reached the int32 sign bit (would corrupt the cast
+        # below and make False verdicts unsound).  Never happens under
+        # WORD_BITS=31; disable rather than assert so python -O stays safe.
+        engine._filter_lay = None
+        return False
     engine._filter_btab = jnp.asarray(bt.astype(np.int32))
     engine._filter_fns = {}
     engine._filter_strikes = 0

@@ -414,11 +414,13 @@ class GroupedPallasAcEngine:
         self.R, self.t_tile, self.interpret = e0.R, e0.t_tile, e0.interpret
         from .filter_scan import attach_filter
 
-        attach_filter(self, machine, max_words=12)
-        # The top-level screen covers every needle; per-group screens in
-        # the non-fused fallback would just re-fire on the same corpus.
-        for e in self.engines:
-            e._filter_lay = None
+        if attach_filter(self, machine, max_words=12):
+            # The top-level screen covers every needle; per-group screens
+            # in the non-fused fallback would just re-fire on the same
+            # corpus.  When the top-level plan fails (very large sets),
+            # the groups keep their own screens.
+            for e in self.engines:
+                e._filter_lay = None
 
     def _stage(self, text: utf8.TextLike):
         data = utf8.to_u8(text)

@@ -944,9 +944,9 @@ class PallasAcEngine:
     #: only adds fetch latency.
     CONTAINS_SEG_BYTES = 32 << 20
 
-    def _get_contains_seg_fn(self, T: int, R_seg: int):
+    def _get_contains_seg_fn(self, T: int, R_seg: int, k: int):
         c = self._sticky_setup()
-        key = ("seg", T, R_seg)
+        key = ("seg", T, R_seg, k)
         if key not in c["fns"]:
             comp = c["comp"]
             n_tiles = T // self.t_tile
@@ -961,13 +961,14 @@ class PallasAcEngine:
             R, t_tile = self.R, self.t_tile
 
             @jax.jit
-            def run(bscal, classmap, table, vend, streams_u8, r0):
-                # One compilation serves every segment: the stream-row
-                # window is a dynamic slice at traced row offset r0.
-                streams = jax.lax.dynamic_slice(
-                    streams_u8.reshape(T, R, 128), (0, r0, 0), (T, R_seg, 128)
-                )
-                vend_seg = jax.lax.dynamic_slice(vend, (r0, 0), (R_seg, 128))
+            def run(bscal, classmap, table, vend, streams_u8):
+                # Static segment index k in the BlockSpec index maps: the
+                # kernel DMAs its stream-row window straight from the
+                # staged array — no HBM copy of the segment (a traced
+                # dynamic_slice materialized corpus/K bytes per call, and
+                # with all K segments dispatched up front those copies
+                # were live simultaneously).
+                streams = streams_u8.reshape(T, R, 128)
                 return pl.pallas_call(
                     kernel,
                     grid=(n_tiles,),
@@ -977,10 +978,10 @@ class PallasAcEngine:
                         pl.BlockSpec(
                             (comp.rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
                         ),
-                        pl.BlockSpec((R_seg, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((R_seg, 128), lambda i: (k, 0), memory_space=pltpu.VMEM),
                         pl.BlockSpec(
                             (t_tile, R_seg, 128),
-                            lambda i: (i, 0, 0),
+                            lambda i: (i, k, 0),
                             memory_space=pltpu.VMEM,
                         ),
                     ],
@@ -988,7 +989,7 @@ class PallasAcEngine:
                     out_shape=jax.ShapeDtypeStruct((R_seg, 128), jnp.int32),
                     scratch_shapes=[pltpu.VMEM((R_seg, 128), jnp.int32)],
                     interpret=self.interpret,
-                )(bscal, classmap, table, vend_seg, streams)
+                )(bscal, classmap, table, vend, streams)
 
             c["fns"][key] = run
         return c["fns"][key]
@@ -1016,17 +1017,20 @@ class PallasAcEngine:
                 break
         if K <= 1:
             return self.contains_staged(st)
-        c = self._sticky_setup()
-        if "comp" not in c or "absorb_pk" not in c:
+        if type(self)._sticky_setup is not PallasAcEngine._sticky_setup:
             # Subclass sticky machinery (comb16/comb32) has its own table
             # family; the segment grid is built on the dense family only.
+            # Checked BEFORE _sticky_setup() so the fallback does not pay
+            # a sticky-table host build it may never use (the attached
+            # screening filter often answers without it).
             return self.contains_staged(st)
+        c = self._sticky_setup()
         R_seg = self.R // K
-        fn = self._get_contains_seg_fn(st.plan.time_len, R_seg)
         bscal = self._bscal_for(st)
         outs = [
-            fn(bscal, c["cm"], c["tab"], st.vend_t, st.streams_dev,
-               jnp.int32(k * R_seg))
+            self._get_contains_seg_fn(st.plan.time_len, R_seg, k)(
+                bscal, c["cm"], c["tab"], st.vend_t, st.streams_dev
+            )
             for k in range(K)
         ]  # async: all segments queue before the first fetch
         live = st.live_np

@@ -119,13 +119,17 @@ def _tpu_dense_control(machine, data: np.ndarray, n_full: int):
     sessions — experiments/tpu_bitap_ab.py); the dense kernel's
     dependent-gather floor (~165 GB/s) is the stable weather gauge, so
     emitting both lets BENCH_r*.json files be compared across rounds."""
+    prior = os.environ.get("AMT_BITAP")
     os.environ["AMT_BITAP"] = "0"
     try:
         from alfred_margaret_tpu.ops.comb_scan import make_pallas_engine
 
         return _slope(make_pallas_engine(machine), data, n_full, peak_bps=200e9)
     finally:
-        os.environ.pop("AMT_BITAP", None)
+        if prior is None:
+            os.environ.pop("AMT_BITAP", None)
+        else:
+            os.environ["AMT_BITAP"] = prior
 
 
 def _staging_mb_budget() -> int:
