@@ -262,6 +262,25 @@ def main(argv=None) -> int:
         corpus5[: 1 << 18],
     ), "config-5 naive str.find divergence"
     t = _best(lambda: s10k.count_matches(corpus5), rounds=2)
+    # Serving steady state: the SAME engine after ~20x the dense table size
+    # has flowed through it — the host byte-class packed table
+    # (native/cpp_engine.py) builds at that amortization point (57 -> 6 MiB
+    # table, cache-resident, measured 1.4-1.9x), so long-lived engines scan
+    # faster than the one-shot row.  Warm scans below are the honest way to
+    # reach that state; bounded at 24 extra scans.
+    t_steady = None
+    try:
+        cpp = getattr(s10k._engine, "_cpp", None)
+        for _ in range(24):
+            if cpp is not None and cpp._class_state != "unbuilt":
+                break
+            s10k.count_matches(corpus5)
+            cpp = getattr(s10k._engine, "_cpp", None)
+        if cpp is not None and cpp._class_state == "ready":
+            assert s10k.count_matches(corpus5) == n
+            t_steady = _best(lambda: s10k.count_matches(corpus5), rounds=2)
+    except Exception:
+        t_steady = None
     _emit(
         config=5,
         op="10k-needle count",
@@ -271,6 +290,7 @@ def main(argv=None) -> int:
         matches=n,
         seconds=round(t, 4),
         mb_per_sec=round(len(corpus5) / t / 1e6, 1),
+        steady_state_mb_per_sec=round(len(corpus5) / t_steady / 1e6, 1) if t_steady else None,
         parity="scalar-oracle-slice-exact",
     )
     return 0

@@ -150,7 +150,155 @@ static inline void scan_interleaved(const int32_t* delta, const uint8_t* data,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Byte-class premultiplied packed scan — the host analogue of the device
+// kernels' entry packing (ops/pallas_scan.py: ``(count << bits) | state*k``)
+// plus their byte-class compression (models/byteclass.py).  Two bytes share a
+// class iff every state transitions identically on them (e.g. the lowercase
+// benchmark machines have 27 classes), so the table shrinks from S*256 to
+// S*C int32 entries — the 10k-needle machine drops from 57 MiB (DRAM-random)
+// to 6 MiB (cache-resident), measured 2.0x on the interleaved count scan
+// (experiments/host_packed_probe.cpp).  Entry layout:
+//   entry = next_state * C  |  match_count(next_state) << 24
+// so the next gather index is ``(entry & 0xFFFFFF) + cls[byte]`` with no
+// multiply on the critical chain, and the count rides the high byte (one
+// table load per byte instead of delta + match_count).  Preconditions
+// (checked by the Python builder, which falls back to the dense path):
+// n_states * C < 2^24 and max match_count < 256.
+static constexpr int kInterleaveClass = 12;  // probe: 12 beats 8/16 here
+
+// K-way interleaved class scan; emit(k, i, entry) gets the PACKED entry.
+template <typename F>
+static inline void scan_class_interleaved(const int32_t* tab, const int32_t* cls,
+                                          const uint8_t* data, int64_t emit_begin,
+                                          int64_t emit_end, int64_t overlap,
+                                          F&& emit) {
+  constexpr int K = kInterleaveClass;
+  int64_t n = emit_end - emit_begin;
+  if (n <= 0) return;
+  if (n < K * std::max<int64_t>(1024, 4 * overlap)) {
+    int64_t w = emit_begin - overlap;
+    if (w < 0) w = 0;
+    int32_t e = 0;  // premultiplied root (root == 0 -> 0*C == 0)
+    for (int64_t i = w; i < emit_end; i++) {
+      e = tab[(e & 0xFFFFFF) + cls[data[i]]];
+      if (i >= emit_begin) emit(0, i, e);
+    }
+    return;
+  }
+  int64_t chunk = (n + K - 1) / K;
+  const uint8_t* p[K];
+  int64_t len[K];
+  int32_t st[K];
+  for (int k = 0; k < K; k++) {
+    int64_t b = emit_begin + (int64_t)k * chunk;
+    int64_t e = std::min(emit_end, b + chunk);
+    if (b > emit_end) b = emit_end;
+    p[k] = data + b;
+    len[k] = e - b;
+    int64_t w = b - overlap;
+    if (w < 0) w = 0;
+    int32_t s = 0;
+    for (int64_t i = w; i < b; i++) s = tab[(s & 0xFFFFFF) + cls[data[i]]];
+    st[k] = s;
+  }
+  int64_t minlen = len[K - 1];
+  for (int64_t t = 0; t < minlen; t++) {
+    for (int k = 0; k < K; k++) {
+      int32_t e = tab[(st[k] & 0xFFFFFF) + cls[p[k][t]]];
+      st[k] = e;
+      emit(k, (p[k] - data) + t, e);
+    }
+  }
+  for (int k = 0; k < K; k++) {
+    int32_t s = st[k];
+    for (int64_t t = minlen; t < len[k]; t++) {
+      s = tab[(s & 0xFFFFFF) + cls[p[k][t]]];
+      emit(k, (p[k] - data) + t, s);
+    }
+  }
+}
+
 extern "C" {
+
+// Class-packed multithreaded count: same overlap-warm-up thread
+// decomposition as am_scan_count_mt, one table load per byte.
+int64_t am_scan_count_class_mt(const int32_t* tab, const int32_t* cls,
+                               const uint8_t* data, int64_t n, int64_t overlap,
+                               int32_t n_threads) {
+  if (n_threads <= 1 || n < (int64_t)n_threads * 4096) {
+    int64_t total = 0;
+    scan_class_interleaved(tab, cls, data, 0, n, overlap,
+                           [&](int, int64_t, int32_t e) { total += (uint32_t)e >> 24; });
+    return total;
+  }
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  std::vector<int64_t> partial(n_threads, 0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      int64_t emit_begin = (int64_t)t * chunk;
+      int64_t emit_end = std::min(n, emit_begin + chunk);
+      if (emit_begin >= n) return;
+      int64_t total = 0;
+      scan_class_interleaved(tab, cls, data, emit_begin, emit_end, overlap,
+                             [&](int, int64_t, int32_t e) { total += (uint32_t)e >> 24; });
+      partial[t] = total;
+    });
+  }
+  for (auto& th : threads) th.join();
+  int64_t total = 0;
+  for (auto p : partial) total += p;
+  return total;
+}
+
+// Class-packed hit scan (the Replacer hot path): append (pos one past match
+// end, REAL state id) per matching byte.  The state id is recovered from the
+// premultiplied entry by dividing by C — off the per-byte critical path
+// (hits only).  Same cap/retry contract as am_scan_hits_mt.
+int64_t am_scan_hits_class_mt(const int32_t* tab, const int32_t* cls,
+                              int32_t n_classes, const uint8_t* data, int64_t n,
+                              int64_t overlap, int32_t n_threads,
+                              int64_t* out_pos, int32_t* out_state, int64_t cap) {
+  if (n_threads < 1) n_threads = 1;
+  if (n < (int64_t)n_threads * 4096) n_threads = 1;
+  std::vector<std::vector<std::pair<int64_t, int32_t>>> hits(n_threads);
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      int64_t emit_begin = (int64_t)t * chunk;
+      int64_t emit_end = std::min(n, emit_begin + chunk);
+      if (emit_begin >= n) return;
+      std::vector<std::pair<int64_t, int32_t>> sub[kInterleaveClass];
+      struct Push {
+        std::vector<std::pair<int64_t, int32_t>>* sub;
+        int32_t C;
+        __attribute__((noinline)) void hit(int k, int64_t i, int32_t e) {
+          sub[k].emplace_back(i + 1, (e & 0xFFFFFF) / C);
+        }
+      } push{sub, n_classes};
+      scan_class_interleaved(tab, cls, data, emit_begin, emit_end, overlap,
+                             [&](int k, int64_t i, int32_t e) {
+                               if (__builtin_expect(((uint32_t)e >> 24) != 0, 0))
+                                 push.hit(k, i, e);
+                             });
+      auto& out = hits[t];
+      for (auto& v : sub) out.insert(out.end(), v.begin(), v.end());
+    });
+  }
+  for (auto& th : threads) th.join();
+  int64_t total = 0, o = 0;
+  for (auto& v : hits) total += (int64_t)v.size();
+  for (auto& v : hits)
+    for (auto& h : v) {
+      if (o >= cap) return total;
+      out_pos[o] = h.first;
+      out_state[o] = h.second;
+      o++;
+    }
+  return total;
+}
 
 // Multithreaded count using the same overlap-warm-up decomposition as the
 // TPU engines (state depends on at most `overlap` bytes of history), with

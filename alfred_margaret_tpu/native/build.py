@@ -140,6 +140,28 @@ def load() -> ctypes.CDLL:
             ctypes.c_int32,
             ctypes.c_void_p,
         ]
+        lib.am_scan_count_class_mt.restype = ctypes.c_int64
+        lib.am_scan_count_class_mt.argtypes = [
+            ctypes.c_void_p,  # tab (premultiplied class-packed, int32[S*C])
+            ctypes.c_void_p,  # cls (int32[256] byte -> class)
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,  # n
+            ctypes.c_int64,  # overlap
+            ctypes.c_int32,  # n_threads
+        ]
+        lib.am_scan_hits_class_mt.restype = ctypes.c_int64
+        lib.am_scan_hits_class_mt.argtypes = [
+            ctypes.c_void_p,  # tab
+            ctypes.c_void_p,  # cls
+            ctypes.c_int32,  # n_classes
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,  # n
+            ctypes.c_int64,  # overlap
+            ctypes.c_int32,  # n_threads
+            ctypes.c_void_p,  # out_pos
+            ctypes.c_void_p,  # out_state
+            ctypes.c_int64,  # cap
+        ]
         lib.am_scan_hits_mt.restype = ctypes.c_int64
         lib.am_scan_hits_mt.argtypes = [
             ctypes.c_void_p,  # delta

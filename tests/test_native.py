@@ -146,3 +146,92 @@ def test_host_ci_bitap_oracle():
         assert plan_host_bitap_ci(m) is None
     except NativeUnavailable:
         pytest.skip("no C++ toolchain")
+
+
+def _force_class(machine):
+    """Engine with the byte-class packed path force-enabled (policy off)."""
+    e = CppAcEngine(machine)
+    e._CLASS_AMORTIZE = 0
+    e._CLASS_USE_MIN = 1
+    return e
+
+
+def test_class_packed_count_and_hits_parity():
+    """Byte-class premultiplied packed scan == dense scan, bit for bit
+    (count, and (pos, value) streams), across overlapping-needle machines,
+    multi-thread counts, and a composed-CI machine."""
+    rng = np.random.default_rng(21)
+    needles = [bytes(rng.choice(list(b"abcde"), size=rng.integers(1, 6))) for _ in range(12)]
+    needles += [b"abc", b"abcd", b"bcd", b"c"]
+    m = ac.build([(n, i) for i, n in enumerate(dict.fromkeys(needles))])
+    dense = CppAcEngine(m)
+    dense._class_state = "unavailable"
+    cls = _force_class(m)
+    hay = bytes(rng.choice(list(b"abcdef "), size=300_000))
+    assert cls.count(hay) == dense.count(hay)
+    assert cls._class_state == "ready"  # the packed path actually ran
+    assert 1 < cls._n_classes <= 256
+    for nt in (1, 2, 8):
+        assert cls.count(hay, n_threads=nt) == dense.count(hay)
+    p0, v0 = dense.matches_arrays(hay)
+    p1, v1 = cls.matches_arrays(hay)
+    assert np.array_equal(p0, p1) and np.array_equal(v0, v1)
+
+
+def test_class_packed_composed_ci_parity():
+    from alfred_margaret_tpu.models import case_dfa
+
+    cm = case_dfa.compose_build([(n, i) for i, n in enumerate(["istanbul", "straße", "k"])])
+    dense = CppAcEngine(cm)
+    dense._class_state = "unavailable"
+    cls = _force_class(cm)
+    text = ("İstanbul STRASSE straße K filler K " * 3000).encode()
+    assert cls.count(text) == dense.count(text) > 0
+    pa, va = dense.matches_arrays(text)
+    pb, vb = cls.matches_arrays(text)
+    assert np.array_equal(pa, pb) and np.array_equal(va, vb)
+
+
+def test_class_packed_amortization_policy():
+    """The class tables only build once cumulative scanned bytes cover the
+    build cost (20x the dense table size); AMT_HOST_CLASS=0 disables."""
+    m = ac.build([(b"needle", 0), (b"word", 1)])
+    e = CppAcEngine(m)
+    small = b"a needle in a haystack " * 10
+    assert e.count(small) == 10
+    assert e._class_state == "unbuilt"  # tiny scans never pay the build
+    # Drive cumulative bytes over the threshold: builds and stays exact.
+    big = b"needle word " * (e._CLASS_AMORTIZE * m.delta.size * 4 // 12 + 1024)
+    n_dense = CppAcEngine(m).count(big)
+    assert e.count(big) == n_dense
+    assert e._class_state == "ready"
+    assert e.count(big) == n_dense  # steady-state packed scan, same answer
+    # Kill switch.
+    import os as _os
+
+    _os.environ["AMT_HOST_CLASS"] = "0"
+    try:
+        e2 = CppAcEngine(m)
+        assert e2.count(big) == n_dense
+        assert e2._class_state == "unavailable"
+    finally:
+        del _os.environ["AMT_HOST_CLASS"]
+
+
+def test_class_packed_field_overflow_falls_back():
+    """Machines whose premultiplied index or count would overflow the
+    packed fields must refuse the class path (and stay correct)."""
+    m = ac.build([(b"ab", 0), (b"b", 1)])
+    e = _force_class(m)
+    # Simulate a state space too large for state*C < 2^24 by inflating the
+    # reported state count (the guard reads machine.n_states via delta).
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        type(m), "n_states", property(lambda self: 1 << 24)
+    ):
+        hay = b"ab b ab " * 64
+        dense = CppAcEngine(m)
+        dense._class_state = "unavailable"
+        assert e.count(hay) == dense.count(hay)
+        assert e._class_state == "unavailable"
