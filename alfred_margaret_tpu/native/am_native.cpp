@@ -300,6 +300,100 @@ int64_t am_scan_hits_class_mt(const int32_t* tab, const int32_t* cls,
   return total;
 }
 
+// Class-packed any-hit scan: am_scan_first_hit over the premultiplied
+// packed table (same early-exit contract — the returned position is an
+// existence witness, not the leftmost).  The per-thread loop stays serial
+// (it may exit within a few bytes); the win is the cache-resident table on
+// miss-heavy corpora, which scan to the end.
+int64_t am_scan_first_hit_class(const int32_t* tab, const int32_t* cls,
+                                const uint8_t* data, int64_t n, int64_t overlap,
+                                int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n < (int64_t)n_threads * 4096) n_threads = 1;
+  std::atomic<bool> found(false);
+  std::vector<int64_t> first(n_threads, -1);
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      int64_t emit_begin = (int64_t)t * chunk;
+      int64_t emit_end = std::min(n, emit_begin + chunk);
+      if (emit_begin >= n) return;
+      int64_t start = emit_begin - overlap;
+      if (start < 0) start = 0;
+      int32_t e = 0;
+      for (int64_t i = start; i < emit_end; i++) {
+        e = tab[(e & 0xFFFFFF) + cls[data[i]]];
+        if (i >= emit_begin && ((uint32_t)e >> 24) != 0) {
+          first[t] = i + 1;
+          found.store(true, std::memory_order_relaxed);
+          return;
+        }
+        if ((i & 0xFFF) == 0 && found.load(std::memory_order_relaxed) &&
+            i >= emit_begin)
+          return;
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < n_threads; t++)
+    if (first[t] >= 0) return first[t];
+  return -1;
+}
+
+// Class-packed all-values scan (containsAll early exit): identical contract
+// to am_scan_all_values; the real state id for the CSR output walk is
+// recovered from the premultiplied entry on hits only.
+int64_t am_scan_all_values_class(const int32_t* tab, const int32_t* cls,
+                                 int32_t n_classes, const int32_t* out_offset,
+                                 const int32_t* out_values, int32_t n_values,
+                                 const uint8_t* data, int64_t n, int64_t overlap,
+                                 int32_t n_threads, uint8_t* out_seen) {
+  if (n_threads < 1) n_threads = 1;
+  if (n < (int64_t)n_threads * 4096) n_threads = 1;
+  std::vector<std::atomic<uint8_t>> shared(n_values);
+  for (auto& b : shared) b.store(0, std::memory_order_relaxed);
+  std::atomic<int32_t> n_seen(0);
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      int64_t emit_begin = (int64_t)t * chunk;
+      int64_t emit_end = std::min(n, emit_begin + chunk);
+      if (emit_begin >= n) return;
+      int64_t start = emit_begin - overlap;
+      if (start < 0) start = 0;
+      std::vector<uint8_t> local(n_values, 0);
+      auto merge = [&]() {
+        for (int32_t v = 0; v < n_values; v++) {
+          if (local[v] && !shared[v].exchange(1, std::memory_order_relaxed))
+            n_seen.fetch_add(1, std::memory_order_relaxed);
+        }
+      };
+      int32_t e = 0;
+      int64_t next_check = emit_begin + 65536;
+      for (int64_t i = start; i < emit_end; i++) {
+        e = tab[(e & 0xFFFFFF) + cls[data[i]]];
+        if (i >= emit_begin && ((uint32_t)e >> 24) != 0) {
+          int32_t state = (e & 0xFFFFFF) / n_classes;
+          for (int32_t o = out_offset[state]; o < out_offset[state + 1]; o++)
+            local[out_values[o]] = 1;
+        }
+        if (i >= next_check) {
+          next_check = i + 65536;
+          merge();
+          if (n_seen.load(std::memory_order_relaxed) >= n_values) return;
+        }
+      }
+      merge();
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int32_t v = 0; v < n_values; v++)
+    out_seen[v] = shared[v].load(std::memory_order_relaxed);
+  return n_seen.load(std::memory_order_relaxed);
+}
+
 // Multithreaded count using the same overlap-warm-up decomposition as the
 // TPU engines (state depends on at most `overlap` bytes of history), with
 // K-way interleaving inside each thread.

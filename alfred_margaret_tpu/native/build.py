@@ -193,6 +193,29 @@ def load() -> ctypes.CDLL:
             ctypes.c_void_p,  # data
             ctypes.c_int64,   # n
         ]
+        lib.am_scan_first_hit_class.restype = ctypes.c_int64
+        lib.am_scan_first_hit_class.argtypes = [
+            ctypes.c_void_p,  # tab
+            ctypes.c_void_p,  # cls
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,  # n
+            ctypes.c_int64,  # overlap
+            ctypes.c_int32,  # n_threads
+        ]
+        lib.am_scan_all_values_class.restype = ctypes.c_int64
+        lib.am_scan_all_values_class.argtypes = [
+            ctypes.c_void_p,  # tab
+            ctypes.c_void_p,  # cls
+            ctypes.c_int32,  # n_classes
+            ctypes.c_void_p,  # out_offset
+            ctypes.c_void_p,  # out_values
+            ctypes.c_int32,  # n_values
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,  # n
+            ctypes.c_int64,  # overlap
+            ctypes.c_int32,  # n_threads
+            ctypes.c_void_p,  # out_seen
+        ]
         lib.am_scan_first_hit.restype = ctypes.c_int64
         lib.am_scan_first_hit.argtypes = [
             ctypes.c_void_p,  # delta

@@ -229,6 +229,17 @@ class CppAcEngine:
         if len(data) == 0:
             return -1
         nt = self.n_threads if n_threads is None else n_threads
+        if self._class_tables(len(data)):
+            return int(
+                self.lib.am_scan_first_hit_class(
+                    self._ctab.ctypes.data,
+                    self._cls.ctypes.data,
+                    data.ctypes.data,
+                    len(data),
+                    self.overlap,
+                    nt,
+                )
+            )
         return int(
             self.lib.am_scan_first_hit(
                 self.delta.ctypes.data,
@@ -252,6 +263,21 @@ class CppAcEngine:
         nt = self.n_threads if n_threads is None else n_threads
         out_offset = np.ascontiguousarray(self.machine.out_offset, dtype=np.int32)
         out_values = np.ascontiguousarray(self.machine.out_values, dtype=np.int32)
+        if self._class_tables(len(data)):
+            self.lib.am_scan_all_values_class(
+                self._ctab.ctypes.data,
+                self._cls.ctypes.data,
+                self._n_classes,
+                out_offset.ctypes.data,
+                out_values.ctypes.data,
+                n_values,
+                data.ctypes.data,
+                len(data),
+                self.overlap,
+                nt,
+                seen.ctypes.data,
+            )
+            return seen.astype(bool)
         self.lib.am_scan_all_values(
             self.delta.ctypes.data,
             self.match_count.ctypes.data,

@@ -235,3 +235,26 @@ def test_class_packed_field_overflow_falls_back():
         dense._class_state = "unavailable"
         assert e.count(hay) == dense.count(hay)
         assert e._class_state == "unavailable"
+
+
+def test_class_packed_first_hit_and_value_presence_parity():
+    rng = np.random.default_rng(33)
+    needles = [bytes(rng.choice(list(b"abcd"), size=rng.integers(2, 6))) for _ in range(10)]
+    m = ac.build([(n, i) for i, n in enumerate(dict.fromkeys(needles))])
+    dense = CppAcEngine(m)
+    dense._class_state = "unavailable"
+    cls = _force_class(m)
+    hit_hay = bytes(rng.choice(list(b"abcdxyz "), size=200_000))
+    miss_hay = bytes(rng.choice(list(b"xyz 123"), size=200_000))
+    # first_hit: existence semantics must agree (witness positions may
+    # differ across thread schedules, so compare presence, and exact
+    # position single-threaded where the scan is deterministic).
+    assert (dense.first_hit(hit_hay) >= 0) == (cls.first_hit(hit_hay) >= 0)
+    assert cls._class_state == "ready"
+    assert dense.first_hit(miss_hay) == cls.first_hit(miss_hay) == -1
+    assert dense.first_hit(hit_hay, n_threads=1) == cls.first_hit(hit_hay, n_threads=1)
+    nv = len(m.values)
+    pa = dense.value_presence(hit_hay, nv)
+    pb = cls.value_presence(hit_hay, nv)
+    assert np.array_equal(pa, pb)
+    assert not cls.value_presence(miss_hay, nv).any()
