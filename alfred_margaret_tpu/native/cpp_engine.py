@@ -30,9 +30,12 @@ class CppAcEngine:
         self.overlap = max(0, machine.max_needle_bytes - 1)
         self.n_threads = n_threads if n_threads is not None else _default_threads()
         # Byte-class premultiplied packed tables (lazy; see _class_tables).
+        # Concurrent builders are benign: both produce identical tables and
+        # "ready" is assigned last, after the arrays, under the GIL.
         self._cls: Optional[np.ndarray] = None
         self._ctab: Optional[np.ndarray] = None
         self._n_classes = 0
+        self._class_bytes_seen = 0
         self._class_state = "unbuilt"  # unbuilt | ready | unavailable
 
     # The scan loop is latency-bound on the dependent table load; shrinking
@@ -60,7 +63,7 @@ class CppAcEngine:
             return n >= self._CLASS_USE_MIN
         if self._class_state == "unavailable":
             return False
-        self._class_bytes_seen = getattr(self, "_class_bytes_seen", 0) + n
+        self._class_bytes_seen += n
         if self._class_bytes_seen < self._CLASS_AMORTIZE * self.delta.nbytes:
             return False
         if os.environ.get("AMT_HOST_CLASS") == "0":
