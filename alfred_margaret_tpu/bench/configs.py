@@ -271,9 +271,11 @@ def main(argv=None) -> int:
     t_steady = None
     try:
         cpp = getattr(s10k._engine, "_cpp", None)
-        for _ in range(24):
+        for i in range(24):
             if cpp is not None and cpp._class_state != "unbuilt":
                 break
+            if i > 0 and cpp is None:
+                break  # count never routes through the host C++ engine here
             s10k.count_matches(corpus5)
             cpp = getattr(s10k._engine, "_cpp", None)
         if cpp is not None and cpp._class_state == "ready":

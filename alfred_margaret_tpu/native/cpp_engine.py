@@ -42,33 +42,38 @@ class CppAcEngine:
     # the table from S*256 to S*C entries (two bytes share a class iff every
     # state transitions identically on them — the device models/byteclass.py
     # trick, host-side) keeps it cache-resident: the 10k-needle machine drops
-    # 57 -> 6 MiB, measured 1.5-2.1x on count and 1.5x on the hit scan
-    # (experiments/host_class_ab.py).  The match count rides the entry's
-    # high byte exactly like the device kernels' packed entries
+    # 57 -> 6 MiB, measured 1.34-1.50x on count and 1.66x on the hit scan
+    # (experiments/logs/host_class_ab.log).  The match count rides the
+    # entry's high byte exactly like the device kernels' packed entries
     # (ops/pallas_scan.py), halving table loads.
     #
     # Amortization: building the tables costs one pass over delta, which
     # only pays once enough bytes flow through the engine — engage after
     # cumulative scanned bytes reach ~20x the dense table size (about the
-    # measured break-even for the 10k-needle machine: ~0.2 s hash-build vs
+    # measured break-even for the 10k-needle machine: ~0.35 s build vs
     # ~14 ms saved per 64 MiB).  One-shot scans of machines whose table
     # already fits cache keep the dense path, honestly.
     _CLASS_USE_MIN = 1 << 16  # once built, engage for medium scans too
     _CLASS_AMORTIZE = 20  # build at cumulative bytes >= this x table size
 
-    def _class_tables(self, n: int) -> bool:
-        """Build-on-demand; True when the class-packed path should be used
-        for a scan of ``n`` bytes."""
+    def _class_tables(self, n: int):
+        """Build-on-demand; returns ``(ctab, cls, n_classes)`` when the
+        class-packed path should serve a scan of ``n`` bytes, else None.
+        Callers must pass the RETURNED arrays to the native call (not
+        re-read self._ctab): holding the reference keeps the buffer alive
+        even if a concurrent builder rebinds the attributes mid-scan."""
         if self._class_state == "ready":
-            return n >= self._CLASS_USE_MIN
+            if n >= self._CLASS_USE_MIN:
+                return self._ctab, self._cls, self._n_classes
+            return None
         if self._class_state == "unavailable":
-            return False
+            return None
         self._class_bytes_seen += n
         if self._class_bytes_seen < self._CLASS_AMORTIZE * self.delta.nbytes:
-            return False
+            return None
         if os.environ.get("AMT_HOST_CLASS") == "0":
             self._class_state = "unavailable"
-            return False
+            return None
         cls, reps = self._byte_classes()
         C = len(reps)
         if (
@@ -76,54 +81,36 @@ class CppAcEngine:
             or int(self.match_count.max(initial=0)) >= 256
         ):
             self._class_state = "unavailable"  # entry fields would overflow
-            return False
+            return None
         dc = self.delta[:, reps].astype(np.int64)  # [S, C] next states
         packed = dc * C | (self.match_count.astype(np.int64)[dc] << 24)
         # Wrap-cast through uint32 (counts >= 128 set the int32 sign bit).
-        self._ctab = np.ascontiguousarray(
+        ctab = np.ascontiguousarray(
             (packed & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
         )
-        self._cls = np.ascontiguousarray(cls, dtype=np.int32)
+        cls = np.ascontiguousarray(cls, dtype=np.int32)
+        self._ctab = ctab
+        self._cls = cls
         self._n_classes = C
         self._class_state = "ready"
-        return n >= self._CLASS_USE_MIN
+        if n >= self._CLASS_USE_MIN:
+            return ctab, cls, C
+        return None
 
     def _byte_classes(self):
-        """(cls[256] byte->class, representative byte per class).  Hashed
-        column grouping with exact verification — np.unique(delta.T, axis=0)
-        sorts 256 S-long rows lexicographically (4.3 s at 10k needles); one
-        weighted-sum hash per column plus per-group equality checks does the
-        same grouping in one pass (~0.2 s), and any hash collision is caught
-        by the verify step and split exactly."""
-        cols = self.delta.T  # [256, S]
-        S = cols.shape[1]
-        w = np.random.default_rng(0xA11CE).integers(
-            1, np.iinfo(np.int64).max, size=S, dtype=np.uint64
-        ) | np.uint64(1)
-        # State-major chunked accumulation: contiguous delta reads and one
-        # small reused buffer (a single [256, S] uint64 temporary is ~120 MiB
-        # at 10k needles and page-faults at this VM's ~0.2 GB/s first-touch).
-        h = np.zeros(256, dtype=np.uint64)
-        step = 8192
-        for a in range(0, S, step):
-            b = min(S, a + step)
-            t = self.delta[a:b].astype(np.uint64)  # [chunk, 256]
-            h += (t * w[a:b, None]).sum(axis=0, dtype=np.uint64)
+        """(cls[256] byte->class, representative byte per class), by
+        interning each byte's transition column — the same exact grouping
+        models/minimize.py's quotient uses (np.unique(delta.T, axis=0)
+        lexsorts 256 S-long rows: 4.3 s at 10k needles vs ~0.3 s here)."""
+        cols = np.ascontiguousarray(self.delta.T)  # [256, S], one transpose
         cls = np.empty(256, dtype=np.int32)
+        groups: dict = {}
         reps: list = []
-        for hv in np.unique(h):
-            members = np.nonzero(h == hv)[0]
-            # Exact split within the hash group (collisions are ~2^-64 but
-            # correctness must not ride on that).
-            pending = list(members)
-            while pending:
-                rep = pending[0]
-                rest = pending[1:]
-                same = [rep] + [b for b in rest if np.array_equal(cols[b], cols[rep])]
-                for b in same:
-                    cls[b] = len(reps)
-                reps.append(rep)
-                pending = [b for b in rest if b not in same]
+        for b in range(256):
+            idx = groups.setdefault(cols[b].tobytes(), len(reps))
+            if idx == len(reps):
+                reps.append(b)
+            cls[b] = idx
         return cls, np.asarray(reps, dtype=np.int64)
 
     def count(self, text: utf8.TextLike, n_threads: Optional[int] = None) -> int:
@@ -131,11 +118,13 @@ class CppAcEngine:
         nt = self.n_threads if n_threads is None else n_threads
         if len(data) == 0:
             return 0
-        if self._class_tables(len(data)):
+        ct = self._class_tables(len(data))
+        if ct is not None:
+            ctab, cls, _ = ct
             return int(
                 self.lib.am_scan_count_class_mt(
-                    self._ctab.ctypes.data,
-                    self._cls.ctypes.data,
+                    ctab.ctypes.data,
+                    cls.ctypes.data,
                     data.ctypes.data,
                     len(data),
                     self.overlap,
@@ -182,16 +171,17 @@ class CppAcEngine:
         # First-try capacity sized for ~1.5% hit density (typical corpora);
         # denser inputs pay one full rescan with the exact size.
         cap = max(4096, len(data) // 64)
-        use_class = self._class_tables(len(data))
+        ct = self._class_tables(len(data))
         while True:
             pos = np.empty(cap, dtype=np.int64)
             st = np.empty(cap, dtype=np.int32)
-            if use_class:
+            if ct is not None:
+                ctab, cls, n_classes = ct
                 total = int(
                     self.lib.am_scan_hits_class_mt(
-                        self._ctab.ctypes.data,
-                        self._cls.ctypes.data,
-                        self._n_classes,
+                        ctab.ctypes.data,
+                        cls.ctypes.data,
+                        n_classes,
                         data.ctypes.data,
                         len(data),
                         self.overlap,
@@ -232,11 +222,13 @@ class CppAcEngine:
         if len(data) == 0:
             return -1
         nt = self.n_threads if n_threads is None else n_threads
-        if self._class_tables(len(data)):
+        ct = self._class_tables(len(data))
+        if ct is not None:
+            ctab, cls, _ = ct
             return int(
                 self.lib.am_scan_first_hit_class(
-                    self._ctab.ctypes.data,
-                    self._cls.ctypes.data,
+                    ctab.ctypes.data,
+                    cls.ctypes.data,
                     data.ctypes.data,
                     len(data),
                     self.overlap,
@@ -266,11 +258,13 @@ class CppAcEngine:
         nt = self.n_threads if n_threads is None else n_threads
         out_offset = np.ascontiguousarray(self.machine.out_offset, dtype=np.int32)
         out_values = np.ascontiguousarray(self.machine.out_values, dtype=np.int32)
-        if self._class_tables(len(data)):
+        ct = self._class_tables(len(data))
+        if ct is not None:
+            ctab, cls, n_classes = ct
             self.lib.am_scan_all_values_class(
-                self._ctab.ctypes.data,
-                self._cls.ctypes.data,
-                self._n_classes,
+                ctab.ctypes.data,
+                cls.ctypes.data,
+                n_classes,
                 out_offset.ctypes.data,
                 out_values.ctypes.data,
                 n_values,

@@ -192,9 +192,10 @@ def test_class_packed_composed_ci_parity():
     assert np.array_equal(pa, pb) and np.array_equal(va, vb)
 
 
-def test_class_packed_amortization_policy():
+def test_class_packed_amortization_policy(monkeypatch):
     """The class tables only build once cumulative scanned bytes cover the
     build cost (20x the dense table size); AMT_HOST_CLASS=0 disables."""
+    monkeypatch.delenv("AMT_HOST_CLASS", raising=False)
     m = ac.build([(b"needle", 0), (b"word", 1)])
     e = CppAcEngine(m)
     small = b"a needle in a haystack " * 10
@@ -206,16 +207,11 @@ def test_class_packed_amortization_policy():
     assert e.count(big) == n_dense
     assert e._class_state == "ready"
     assert e.count(big) == n_dense  # steady-state packed scan, same answer
-    # Kill switch.
-    import os as _os
-
-    _os.environ["AMT_HOST_CLASS"] = "0"
-    try:
-        e2 = CppAcEngine(m)
-        assert e2.count(big) == n_dense
-        assert e2._class_state == "unavailable"
-    finally:
-        del _os.environ["AMT_HOST_CLASS"]
+    # Kill switch (monkeypatch restores any pre-set value afterwards).
+    monkeypatch.setenv("AMT_HOST_CLASS", "0")
+    e2 = CppAcEngine(m)
+    assert e2.count(big) == n_dense
+    assert e2._class_state == "unavailable"
 
 
 def test_class_packed_field_overflow_falls_back():
