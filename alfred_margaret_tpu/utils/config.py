@@ -19,6 +19,20 @@ environment (prefix ``AMT_``):
                    larger than 2x this stream through fixed-size staged
                    chunks (ops.streaming) instead of staging the whole
                    corpus in HBM
+
+Knobs read at point of use (not part of this dataclass):
+
+  AMT_PREFILTER    1/0 force/disable the host 5-byte-window prefilter
+                   engine (native.prefilter)
+  AMT_FILTER       0 disables the stride-2 containsAny screen
+                   (ops.filter_scan)
+  AMT_HOST_CLASS   0 disables the host byte-class packed table
+                   (native.cpp_engine; builds lazily at the cumulative-
+                   bytes break-even)
+  AMT_MALLOC_TUNE  0 disables the large-buffer malloc arena tuning
+                   (native.build._tune_malloc)
+  AMT_NATIVE_CACHE directory for the compiled C++ engine .so
+  AMT_TPU_TESTS / AMT_MULTIPROC_TESTS  opt-in test lanes (tests/conftest)
 """
 
 from __future__ import annotations
